@@ -2,16 +2,23 @@
 
 Tests run on a *virtual 8-device CPU mesh* (the "fake cluster" of SURVEY.md
 §4): sharding/collective code paths compile and execute without TPU hardware.
-These env vars must be set before the first ``import jax`` anywhere, which is
-why they live at conftest import time.
+
+Note: this image's sitecustomize pre-imports jax and pins
+``jax_platforms=axon,cpu`` (the TPU tunnel), so plain env vars are too late —
+the platform must be forced via ``jax.config.update`` after import, and
+XLA_FLAGS must be set before the CPU backend first initializes (which is
+later, at first device use — so setting it here still works).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,31 @@
+"""Core device state: tableau pytree, solver options, form predicates."""
+
+from .state import (
+    RULE_BLAND,
+    RULE_DANTZIG,
+    SimplexState,
+    SolverOptions,
+    Status,
+    make_state,
+)
+from .predicates import (
+    is_canonical,
+    is_degenerate,
+    is_infeasible_form,
+    is_optimal,
+    is_unbounded,
+)
+
+__all__ = [
+    "SimplexState",
+    "SolverOptions",
+    "Status",
+    "make_state",
+    "RULE_DANTZIG",
+    "RULE_BLAND",
+    "is_canonical",
+    "is_degenerate",
+    "is_infeasible_form",
+    "is_optimal",
+    "is_unbounded",
+]

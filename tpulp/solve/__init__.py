@@ -1,0 +1,25 @@
+"""Device solver: jitted two-phase simplex driver + high-level API."""
+
+from .api import Solution, solve_lp, solve_standard_form, state_from_standard_form
+from .driver import (
+    choose_pivot,
+    extract_solution,
+    pivot_update,
+    run_simplex,
+    simplex_step,
+)
+from .refine import exact_basis_solve, refine_basis_solution
+
+__all__ = [
+    "Solution",
+    "solve_lp",
+    "solve_standard_form",
+    "state_from_standard_form",
+    "run_simplex",
+    "simplex_step",
+    "choose_pivot",
+    "pivot_update",
+    "extract_solution",
+    "refine_basis_solution",
+    "exact_basis_solve",
+]
