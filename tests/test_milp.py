@@ -1,0 +1,132 @@
+"""MILP branch-and-bound: knapsack goldens, LP-vs-MILP gaps, statuses,
+batched-wave behavior, LinProg.solve() dispatch."""
+
+from fractions import Fraction as F
+
+import pytest
+
+from tpulp import LinExpr, LinProg, LinVar
+from tpulp.milp import solve_milp
+
+
+def knapsack(values, weights, cap):
+    lp = LinProg()
+    obj = LinExpr()
+    wexpr = LinExpr()
+    for i, (v, w) in enumerate(zip(values, weights)):
+        lp.addVar(f"x{i}", integral=True, lb=0, ub=1)
+        obj += LinExpr(v, f"x{i}")
+        wexpr += LinExpr(w, f"x{i}")
+    lp.maximize(obj)
+    lp.addConstraint(wexpr.constraintLeq(cap))
+    return lp
+
+
+class TestMilp:
+    def test_knapsack_golden(self):
+        # values 10,13,7,8; weights 5,6,4,3; cap 10 -> best 21 (items 1,3)
+        lp = knapsack([10, 13, 7, 8], [5, 6, 4, 3], 10)
+        sol, stats = solve_milp(lp, return_stats=True)
+        assert sol.status == "optimal"
+        assert sol.objective == 21
+        assert sol.x["x1"] == 1 and sol.x["x3"] == 1
+        assert stats.nodes_solved >= 1
+
+    def test_integrality_gap(self):
+        # max x s.t. 2x <= 5, x integer: LP gives 5/2, MILP gives 2
+        lp = LinProg()
+        lp.addVar("x", integral=True, lb=0, ub=10)
+        lp.maximize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(2, "x").constraintLeq(5))
+        sol = solve_milp(lp)
+        assert sol.status == "optimal"
+        assert sol.objective == 2
+        assert sol.x["x"] == 2
+
+    def test_mixed_integer_continuous(self):
+        # y continuous rides along with integral x
+        lp = LinProg()
+        lp.addVar("x", integral=True, lb=0, ub=10)
+        lp.addVar("y", lb=0)
+        lp.maximize(LinExpr(3, "x", 2, "y"))
+        lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq("7/2"))
+        sol = solve_milp(lp)
+        assert sol.status == "optimal"
+        # x=3, y=1/2 -> 10 ; (x=0,y=7/2 -> 7; x=2,y=3/2->9)
+        assert sol.objective == 10
+        assert sol.x["x"] == 3 and sol.x["y"] == F(1, 2)
+
+    def test_infeasible_integer(self):
+        # 1/3 <= x <= 2/3 has no integer point: LinVar snaps to [1, 0]
+        lp = LinProg()
+        lp.addVariable(LinVar("x", True, "1/3", "2/3"))
+        lp.minimize(LinExpr(1, "x"))
+        sol = solve_milp(lp)
+        assert sol.status == "infeasible"
+
+    def test_infeasible_by_branching(self):
+        # integer point must satisfy 2x == 3 -> impossible
+        lp = LinProg()
+        lp.addVar("x", integral=True, lb=0, ub=5)
+        lp.minimize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(2, "x").constraintEq(3))
+        sol = solve_milp(lp)
+        assert sol.status == "infeasible"
+
+    def test_pure_lp_falls_through(self):
+        lp = LinProg()
+        lp.addVar("x", ub=4)
+        lp.maximize(LinExpr(1, "x"))
+        sol = solve_milp(lp)
+        assert sol.status == "optimal"
+        assert sol.objective == 4
+
+    def test_fixed_integer_var(self):
+        lp = LinProg()
+        lp.addVar("x", integral=True, lb=2, ub=2)
+        lp.addVar("y", integral=True, lb=0, ub=3)
+        lp.maximize(LinExpr(1, "x", 1, "y"))
+        lp.addConstraint(LinExpr(1, "y", 1, "x").constraintLeq("9/2"))
+        sol = solve_milp(lp)
+        assert sol.status == "optimal"
+        assert sol.objective == 4  # x=2 fixed, y<=5/2 -> 2
+        assert sol.x["x"] == 2 and sol.x["y"] == 2
+
+    def test_node_limit(self):
+        lp = knapsack([10, 13, 7, 8, 9, 12], [5, 6, 4, 3, 5, 7], 13)
+        sol = solve_milp(lp, max_nodes=1, batch_size=1)
+        assert sol.status in ("node_limit", "optimal")
+
+    def test_small_batch_waves(self):
+        lp = knapsack([10, 13, 7, 8], [5, 6, 4, 3], 10)
+        sol, stats = solve_milp(lp, batch_size=2, return_stats=True)
+        assert sol.objective == 21
+        assert stats.waves >= 1
+
+    def test_linprog_solve_dispatches_to_milp(self):
+        lp = knapsack([4, 5], [2, 3], 4)
+        sol = lp.solve()
+        assert sol.status == "optimal"
+        assert sol.objective == 5
+
+    def test_requires_linprog_not_standard_form(self):
+        lp = knapsack([4, 5], [2, 3], 4)
+        with pytest.raises(TypeError):
+            solve_milp(lp.lower())
+
+    def test_2d_integer_golden(self):
+        # max x + y; x,y in Z; 7x + 5y <= 35; -x + 3y <= 9; x,y >= 0
+        lp = LinProg()
+        lp.addVar("x", integral=True, lb=0, ub=10)
+        lp.addVar("y", integral=True, lb=0, ub=10)
+        lp.maximize(LinExpr(1, "x", 1, "y"))
+        lp.addConstraint(LinExpr(7, "x", 5, "y").constraintLeq(35))
+        lp.addConstraint(LinExpr(-1, "x", 3, "y").constraintLeq(9))
+        sol = solve_milp(lp)
+        assert sol.status == "optimal"
+        # best integer: brute-force check
+        best = max(
+            x + y
+            for x in range(11) for y in range(11)
+            if 7 * x + 5 * y <= 35 and -x + 3 * y <= 9)
+        assert sol.objective == best

@@ -1,0 +1,217 @@
+"""Batched (vmapped) simplex: solve many independent LPs in one compiled call.
+
+The reference solves exactly one LP at a time (SURVEY.md §2.8); this layer is
+new capability mandated by BASELINE.json config 3 ("vmap over 1k+ independent
+random dense LPs per chip") and is the engine under MILP branch-and-bound
+(``tpulp.milp``): every B&B frontier wave is one batched solve.
+
+Design: ``SimplexState`` is a pytree, so the batched solver is literally
+``vmap(single-problem driver)`` with a leading problem axis on every leaf.
+The driver's loop body freezes terminated lanes, so lanes with divergent
+pivot counts coexist in one ``while_loop`` (the wall clock is the slowest
+lane's pivot count). Problems of different shapes are padded to a common
+static shape: zero rows get their own unit "pad slack" basic column, extra
+columns are priced-inactive, and padded artificial columns keep phase-1
+shapes uniform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.state import SimplexState, SolverOptions, Status, make_state
+from ..model.lower import StandardForm, lower_to_standard_form
+from ..model.prog import LinProg
+from ..solve.api import Solution, solve_standard_form
+from ..solve.driver import _compiled_driver
+from ..solve.refine import refine_basis_solution
+
+__all__ = [
+    "stack_states",
+    "unstack_state",
+    "make_batched_states",
+    "run_simplex_batch",
+    "solve_lp_batch",
+]
+
+
+def stack_states(states: Sequence[SimplexState]) -> SimplexState:
+    """Stack same-shape states along a new leading problem axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
+def unstack_state(batched: SimplexState, i: int) -> SimplexState:
+    """Extract problem ``i`` from a batched state."""
+    return jax.tree.map(lambda x: x[i], batched)
+
+
+def _padded_arrays(sf: StandardForm, m_max: int, n_base: int):
+    """Pad one problem's dense arrays to (m_max, n_base) non-artificial
+    columns: zero rows each get a fresh unit basic column (a 'pad slack'),
+    extra columns stay zero/costless."""
+    c, A, b, hint = *sf.to_dense(np.float64), list(sf.basis_hint)
+    m, n = A.shape
+    pad_rows = m_max - m
+    cp = np.zeros((n_base,))
+    cp[:n] = c
+    Ap = np.zeros((m_max, n_base))
+    Ap[:m, :n] = A
+    bp = np.zeros((m_max,))
+    bp[:m] = b
+    for k in range(pad_rows):
+        Ap[m + k, n + k] = 1.0  # pad slack
+        hint.append(n + k)
+    return cp, Ap, bp, hint
+
+
+def make_batched_states(
+    sfs: Sequence[StandardForm],
+    dtype=jnp.float64,
+) -> SimplexState:
+    """Lower a list of StandardForms to ONE batched state of uniform shape."""
+    if not sfs:
+        raise ValueError("empty batch")
+    dims = []
+    for sf in sfs:
+        n_art = sum(1 for h in sf.basis_hint if h < 0)
+        dims.append((sf.m, sf.n, n_art))
+    m_max = max(d[0] for d in dims)
+    n_base = max(d[1] + (m_max - d[0]) for d in dims)
+    art_max = max(d[2] for d in dims)
+
+    states = []
+    for sf, (m, n, n_art) in zip(sfs, dims):
+        cp, Ap, bp, hint = _padded_arrays(sf, m_max, n_base)
+        st = make_state(cp, Ap, bp, hint, dtype=dtype,
+                        n_extra_art=art_max - n_art)
+        states.append(st)
+    return stack_states(states)
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_driver(opts: SolverOptions, stall_limit: int):
+    single = _compiled_driver.__wrapped__(opts, stall_limit)
+    return jax.jit(jax.vmap(single))
+
+
+def run_simplex_batch(
+    batched: SimplexState,
+    opts: SolverOptions = SolverOptions(),
+) -> SimplexState:
+    """Run the vmapped driver to termination of every lane."""
+    m = batched.T.shape[1] - 2
+    n = batched.T.shape[2] - 1
+    stall_limit = opts.resolved_stall_limit(m, n)
+    return _batched_driver(opts, stall_limit)(batched)
+
+
+def solve_lp_batch(
+    progs: Sequence[Union[LinProg, StandardForm]],
+    options: SolverOptions = SolverOptions(),
+    dtype=jnp.float64,
+    refine: str = "auto",
+    **opt_overrides,
+) -> List[Solution]:
+    """Solve a batch of LPs in one device call; one Solution per problem."""
+    if opt_overrides:
+        options = dataclasses.replace(options, **opt_overrides)
+    sfs = [
+        p if isinstance(p, StandardForm) else lower_to_standard_form(p)
+        for p in progs
+    ]
+    solvable = [i for i, sf in enumerate(sfs) if not sf.trivially_infeasible]
+    results: List[Solution] = [Solution(status="infeasible")] * len(sfs)
+    if not solvable:
+        return results
+
+    batched = make_batched_states([sfs[i] for i in solvable], dtype=dtype)
+    out = run_simplex_batch(batched, options)
+
+    statuses = np.asarray(out.status)
+    niters = np.asarray(out.niter)
+    bases = np.asarray(out.basis)
+    corners = np.asarray(out.T[:, 0, -1])
+    n_base = None
+    for k, i in enumerate(solvable):
+        sf = sfs[i]
+        status = Status.NAMES.get(int(statuses[k]), "unknown")
+        if status != "optimal":
+            results[i] = Solution(status=status, niter=int(niters[k]))
+            continue
+        # map batched column indices back to this problem's own space:
+        # cols < sf.n are structural; pad slacks & artificials -> unit rows
+        basis_cols = []
+        for j in bases[k]:
+            basis_cols.append(int(j))
+        results[i] = _extract_one(sf, basis_cols, float(-corners[k]),
+                                  int(niters[k]), refine, out, k)
+    return results
+
+
+def _extract_one(sf: StandardForm, basis_cols, z_float, niter, refine,
+                 batched, lane) -> Solution:
+    """Refine + recover one lane's solution (host side)."""
+    from ..model.prog import MAX
+
+    m = sf.m
+    # keep only this problem's real rows' basis entries; padded rows carry
+    # pad slacks / padded artificials which don't exist in sf's column space
+    basis = basis_cols[:m]
+    # batched column index -> sf column index: structural columns coincide
+    # ([0, sf.n)); anything >= sf.n is a pad slack or artificial. Artificials
+    # of THIS problem start at n_base in the batched layout but at sf.n in
+    # refine's convention, so remap them.
+    n_batched = batched.T.shape[2] - 1
+    art_start_batched = int(np.asarray(batched.art_cols[lane]).argmax()) \
+        if bool(np.asarray(batched.art_cols[lane]).any()) else n_batched
+    remapped = []
+    for j in basis:
+        if j < sf.n:
+            remapped.append(j)
+        elif j >= art_start_batched:
+            remapped.append(sf.n + (j - art_start_batched))
+        else:
+            # pad slack basic in a real row cannot happen (pad slacks live
+            # only in padded rows, and rows only swap basis via pivots in
+            # their own row)
+            remapped.append(j)
+    if refine == "none":
+        col_values = None
+        z_min = z_float + float(sf.obj_const)
+        obj = -z_min if sf.sense == MAX else z_min
+        # recover x from the float tableau directly
+        b = np.asarray(batched.T[lane, 2:, -1])[:m]
+        vals = {}
+        for k2, j in enumerate(remapped):
+            if j < sf.n:
+                vals[j] = float(b[k2])
+        x = {}
+        for name, (terms, const) in sf.recover.items():
+            v = const
+            for col, coeff in terms:
+                v = v + coeff * vals.get(col, 0.0)
+            x[name] = v
+        return Solution(status="optimal", objective=obj, x=x, niter=niter,
+                        objective_min=z_min, col_values=vals, basis=remapped)
+    col_values, z_min = refine_basis_solution(sf, remapped, mode=refine)
+    obj = -z_min if sf.sense == MAX else z_min
+    from fractions import Fraction
+
+    def colval(j):
+        return col_values.get(j, Fraction(0))
+
+    x = {}
+    for name, (terms, const) in sf.recover.items():
+        v = const
+        for col, coeff in terms:
+            v = v + coeff * colval(col)
+        x[name] = v
+    return Solution(status="optimal", objective=obj, x=x, niter=niter,
+                    objective_min=z_min, col_values=dict(col_values),
+                    basis=remapped)

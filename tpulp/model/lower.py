@@ -176,7 +176,8 @@ def lower_to_standard_form(
         elif lb is not None:
             col = new_col(name if lb == 0 else f"{name}'")
             subst[name] = ([(col, ONE)], lb)
-            if ub is not None:
+            if ub is not None and not (integer_bound_rows and v.isint):
+                # integer vars get dedicated bound rows below instead
                 bound_cons.append((col, ub - lb))
         elif ub is not None:
             col = new_col(f"{name}^")

@@ -130,6 +130,36 @@ def _do_pivot(state: SimplexState, opts: SolverOptions,
     )
 
 
+def _drive_out_artificials(state: SimplexState, opts: SolverOptions
+                           ) -> SimplexState:
+    """Pivot every basic artificial out of the basis at the end of phase 1.
+
+    A basic artificial at value 0 is NOT inert: a later pivot whose entering
+    column has a negative entry in its row makes it grow, silently breaking
+    primal feasibility (empirically reproduced; the rational reference
+    performs the same drive-out at simplex.py:69-84). Pivoting on ANY nonzero
+    original-column entry in the row is feasibility-preserving because the
+    row's RHS is 0. Rows with no eligible entry are linearly dependent: their
+    artificial stays basic, and since every active entry of the row is ~0 the
+    row can no longer interact with future pivots."""
+    m = state.m
+
+    def body(i, s):
+        is_art = s.art_cols[s.basis[i]]
+        row = s.T[2 + i, :-1]
+        elig = s.col_active & ~s.art_cols & (jnp.abs(row) > opts.piv_tol)
+        has = jnp.any(elig)
+        j = jnp.argmax(elig).astype(jnp.int32)
+
+        def do(s2):
+            T = pivot_update(s2.T, i + 2, j)
+            return s2._replace(T=T, basis=s2.basis.at[i].set(j))
+
+        return lax.cond(is_art & has, do, lambda s2: s2, s)
+
+    return lax.fori_loop(0, m, body, state)
+
+
 def _on_phase_optimal(state: SimplexState, opts: SolverOptions) -> SimplexState:
     """No improving column: finish phase 2, or transition phase 1 -> 2."""
     z1 = -state.T[1, -1]
@@ -145,6 +175,7 @@ def _on_phase_optimal(state: SimplexState, opts: SolverOptions) -> SimplexState:
 
         def to_phase2(s2):
             dtype = s2.T.dtype
+            s2 = _drive_out_artificials(s2, opts)
             return s2._replace(
                 phase=jnp.asarray(2, jnp.int32),
                 col_active=s2.col_active & ~s2.art_cols,
@@ -196,7 +227,12 @@ def _compiled_driver(opts: SolverOptions, stall_limit: int):
             return (s.status == Status.RUNNING) & (s.niter < opts.max_iters)
 
         def body(s):
-            return simplex_step(s, opts, stall_limit)
+            # freeze terminal lanes: under vmap the loop runs until EVERY
+            # lane terminates, and finished lanes must not keep pivoting
+            s_new = simplex_step(s, opts, stall_limit)
+            running = s.status == Status.RUNNING
+            return jax.tree.map(
+                lambda new, old: jnp.where(running, new, old), s_new, s)
 
         out = lax.while_loop(cond, body, state)
         hit_limit = (out.status == Status.RUNNING)
