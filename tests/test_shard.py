@@ -1,0 +1,141 @@
+"""Sharded solver on the virtual 8-device CPU mesh (the fake cluster):
+both the GSPMD-annotated path and the explicit shard_map collective path
+must match the single-device driver exactly (same pivots, same statuses)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpulp import LinExpr, LinProg
+from tpulp.core import SolverOptions, Status
+from tpulp.shard import (
+    from_sharded_state,
+    make_mesh,
+    run_simplex_gspmd,
+    run_simplex_sharded,
+    shard_state,
+    to_sharded_state,
+)
+from tpulp.solve import run_simplex, state_from_standard_form
+
+
+def textbook_lp():
+    lp = LinProg()
+    lp.addVar("x1")
+    lp.addVar("x2")
+    lp.maximize(LinExpr(40, "x1", 30, "x2"))
+    lp.addConstraint(LinExpr(1, "x1", 1, "x2").constraintLeq(12))
+    lp.addConstraint(LinExpr(2, "x1", 1, "x2").constraintLeq(16))
+    return lp
+
+
+def phase1_lp():
+    lp = LinProg()
+    lp.addVar("x")
+    lp.addVar("y")
+    lp.minimize(LinExpr(2, "x", 3, "y"))
+    lp.addConstraint(LinExpr(1, "x", 1, "y").constraintGeq(4))
+    lp.addConstraint(LinExpr(1, "x", -1, "y").constraintEq(0))
+    return lp
+
+
+def random_dense_state(seed, m=24, n=48):
+    """Random canonical-form LP (slack identity basis) as a device state."""
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(m, n))
+    x0 = np.abs(rng.normal(size=n))
+    b = A @ x0 + np.abs(rng.normal(size=m))  # slack room -> feasible
+    c = rng.normal(size=n)
+    from tpulp.core import make_state
+
+    Afull = np.concatenate([A, np.eye(m)], axis=1)
+    cfull = np.concatenate([c, np.zeros(m)])
+    hint = list(range(n, n + m))
+    return make_state(cfull, Afull, b, hint, dtype=jnp.float64)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+class TestGspmd:
+    def test_textbook(self, mesh):
+        sf = textbook_lp().lower()
+        st = state_from_standard_form(sf)
+        out = run_simplex_gspmd(shard_state(st, mesh), mesh)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(out.objective()) - (-400)) < 1e-9
+
+    def test_random_matches_single(self, mesh):
+        st = random_dense_state(0)
+        ref = run_simplex(st)
+        out = run_simplex_gspmd(shard_state(st, mesh), mesh)
+        assert int(out.status) == int(ref.status)
+        assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+        assert int(out.niter) == int(ref.niter)
+
+
+class TestShardMap:
+    def test_textbook(self, mesh):
+        sf = textbook_lp().lower()
+        st = state_from_standard_form(sf)
+        sh = to_sharded_state(st, mesh)
+        out_sh = run_simplex_sharded(sh, mesh)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(out.objective()) - (-400)) < 1e-9
+
+    def test_phase1_transition(self, mesh):
+        sf = phase1_lp().lower()
+        st = state_from_standard_form(sf)
+        out_sh = run_simplex_sharded(to_sharded_state(st, mesh), mesh)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(out.objective()) - 10) < 1e-9
+
+    def test_statuses(self, mesh):
+        inf_lp = LinProg()
+        inf_lp.addVar("x")
+        inf_lp.minimize(LinExpr(1, "x"))
+        inf_lp.addConstraint(LinExpr(1, "x").constraintLeq(1))
+        inf_lp.addConstraint(LinExpr(1, "x").constraintGeq(3))
+        st = state_from_standard_form(inf_lp.lower())
+        out = run_simplex_sharded(to_sharded_state(st, mesh), mesh)
+        assert int(out.status) == Status.INFEASIBLE
+
+        unb_lp = LinProg()
+        unb_lp.addVar("x")
+        unb_lp.minimize(LinExpr(-1, "x"))
+        unb_lp.addConstraint(LinExpr(1, "x").constraintGeq(1))
+        st2 = state_from_standard_form(unb_lp.lower())
+        out2 = run_simplex_sharded(to_sharded_state(st2, mesh), mesh)
+        assert int(out2.status) == Status.UNBOUNDED
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_exact_pivot_parity(self, mesh, seed):
+        """The sharded driver must take the SAME pivot sequence as the
+        single-device driver (identical pricing/ratio decisions), hence
+        identical iteration counts and bit-close objectives."""
+        st = random_dense_state(seed)
+        ref = run_simplex(st)
+        out_sh = run_simplex_sharded(to_sharded_state(st, mesh), mesh)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == int(ref.status)
+        assert int(out.niter) == int(ref.niter)
+        assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+        assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+
+    def test_mesh_sizes(self):
+        # sharding must work for any divisor mesh, including size 1
+        st = random_dense_state(4, m=10, n=21)
+        ref = run_simplex(st)
+        for p in [1, 2, 4]:
+            mesh = make_mesh(p)
+            out_sh = run_simplex_sharded(to_sharded_state(st, mesh), mesh)
+            out = from_sharded_state(out_sh, st.n)
+            assert int(out.status) == int(ref.status), p
+            assert abs(float(out.objective()) - float(ref.objective())) < 1e-8

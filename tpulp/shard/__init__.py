@@ -1,0 +1,21 @@
+"""Multi-chip column-partitioned solving over a device mesh."""
+
+from .sharded import (
+    ShardedState,
+    from_sharded_state,
+    make_mesh,
+    run_simplex_gspmd,
+    run_simplex_sharded,
+    shard_state,
+    to_sharded_state,
+)
+
+__all__ = [
+    "ShardedState",
+    "make_mesh",
+    "shard_state",
+    "run_simplex_gspmd",
+    "to_sharded_state",
+    "from_sharded_state",
+    "run_simplex_sharded",
+]
