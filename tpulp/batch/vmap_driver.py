@@ -102,9 +102,11 @@ def _batched_driver(opts: SolverOptions, stall_limit: int):
 
 def run_simplex_batch(
     batched: SimplexState,
-    opts: SolverOptions = SolverOptions(),
+    opts: SolverOptions | None = None,
 ) -> SimplexState:
     """Run the vmapped driver to termination of every lane."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(batched.T.dtype)
     m = batched.T.shape[1] - 2
     n = batched.T.shape[2] - 1
     stall_limit = opts.resolved_stall_limit(m, n)
@@ -113,12 +115,14 @@ def run_simplex_batch(
 
 def solve_lp_batch(
     progs: Sequence[Union[LinProg, StandardForm]],
-    options: SolverOptions = SolverOptions(),
+    options: SolverOptions | None = None,
     dtype=jnp.float64,
     refine: str = "auto",
     **opt_overrides,
 ) -> List[Solution]:
     """Solve a batch of LPs in one device call; one Solution per problem."""
+    if options is None:
+        options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
     sfs = [

@@ -81,7 +81,10 @@ class SolverOptions:
     max_iters: int = 10_000
     # reduced-cost optimality tolerance
     opt_tol: float = 1e-9
-    # pivot-element positivity tolerance for the ratio test
+    # pivot-element positivity tolerance for the ratio test. CRITICAL for
+    # float32: accepting a near-zero pivot element amplifies the whole
+    # tableau by 1/pivot and destroys feasibility/monotonicity — use
+    # ``SolverOptions.for_dtype`` to get dtype-appropriate tolerances.
     piv_tol: float = 1e-9
     # |z - last_z| below this counts as a degenerate (stalled) pivot
     degen_tol: float = 0.0
@@ -93,6 +96,18 @@ class SolverOptions:
 
     def resolved_stall_limit(self, m: int, n: int) -> int:
         return self.stall_limit if self.stall_limit > 0 else m + n
+
+    @classmethod
+    def for_dtype(cls, dtype, **overrides) -> "SolverOptions":
+        """Defaults scaled to the iterate precision: f32 needs much looser
+        pivot/optimality tolerances than f64 (f32 eps ~1.2e-7)."""
+        name = jnp.dtype(dtype).name
+        if name == "float32":
+            base = dict(opt_tol=1e-5, piv_tol=1e-5, infeas_tol=1e-4)
+        else:
+            base = dict(opt_tol=1e-9, piv_tol=1e-9, infeas_tol=1e-7)
+        base.update(overrides)
+        return cls(**base)
 
 
 class SimplexState(NamedTuple):

@@ -75,7 +75,7 @@ def _most_fractional(values: Dict[str, Fraction]) -> Optional[str]:
 
 def solve_milp(
     prog: Union[LinProg, StandardForm],
-    options: SolverOptions = SolverOptions(),
+    options: Optional[SolverOptions] = None,
     dtype=jnp.float64,
     batch_size: int = 64,
     max_nodes: int = 100_000,
@@ -87,6 +87,8 @@ def solve_milp(
     Returns a Solution (status optimal / infeasible / unbounded / node_limit)
     in the original sense/variables; with ``return_stats=True`` returns
     ``(Solution, BnbStats)``."""
+    if options is None:
+        options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
     if isinstance(prog, StandardForm):

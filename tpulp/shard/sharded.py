@@ -111,11 +111,13 @@ def shard_state(state: SimplexState, mesh: Mesh, axis: str = "cols"
 def run_simplex_gspmd(
     state: SimplexState,
     mesh: Mesh,
-    opts: SolverOptions = SolverOptions(),
+    opts: SolverOptions | None = None,
     axis: str = "cols",
 ) -> SimplexState:
     """Run the standard driver under GSPMD: shardings annotated, collectives
     inserted by XLA. ``state`` should come from ``shard_state``."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(state.T.dtype)
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
     driver = _compiled_driver.__wrapped__(opts, stall_limit)
     shardings = state_sharding(mesh, axis)
@@ -394,10 +396,12 @@ def _sharded_driver(opts: SolverOptions, stall_limit: int, n_global: int,
 def run_simplex_sharded(
     sh: ShardedState,
     mesh: Mesh,
-    opts: SolverOptions = SolverOptions(),
+    opts: SolverOptions | None = None,
     axis: str = "cols",
 ) -> ShardedState:
     """Run the explicit-collective sharded driver to termination."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(sh.T.dtype)
     m = sh.basis.shape[0]
     n_global = sh.T.shape[1]
     stall_limit = opts.resolved_stall_limit(m, n_global)

@@ -60,11 +60,13 @@ def state_from_standard_form(
 
 def solve_standard_form(
     sf: StandardForm,
-    options: SolverOptions = SolverOptions(),
+    options: Optional[SolverOptions] = None,
     dtype=jnp.float64,
     refine: str = "auto",
 ) -> Solution:
     """Solve a lowered StandardForm on the device path."""
+    if options is None:
+        options = SolverOptions.for_dtype(dtype)
     if sf.trivially_infeasible:
         return Solution(status="infeasible")
     state = state_from_standard_form(sf, dtype=dtype)
@@ -113,7 +115,7 @@ def solve_standard_form(
 
 def solve_lp(
     prog: Union[LinProg, StandardForm],
-    options: SolverOptions = SolverOptions(),
+    options: Optional[SolverOptions] = None,
     dtype=jnp.float64,
     refine: str = "auto",
     **opt_overrides,
@@ -122,6 +124,8 @@ def solve_lp(
 
     ``opt_overrides`` are SolverOptions field overrides, e.g.
     ``solve_lp(lp, max_iters=500, rule=RULE_BLAND)``."""
+    if options is None:
+        options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
     sf = prog if isinstance(prog, StandardForm) else lower_to_standard_form(prog)

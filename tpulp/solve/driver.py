@@ -243,9 +243,11 @@ def _compiled_driver(opts: SolverOptions, stall_limit: int):
     return driver
 
 
-def run_simplex(state: SimplexState, opts: SolverOptions = SolverOptions()
+def run_simplex(state: SimplexState, opts: SolverOptions | None = None
                 ) -> SimplexState:
     """Run the jitted driver to termination (single problem)."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(state.T.dtype)
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
     return _compiled_driver(opts, stall_limit)(state)
 
