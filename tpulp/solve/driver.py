@@ -100,122 +100,156 @@ def pivot_update(T: jax.Array, r_glob: jax.Array, j: jax.Array) -> jax.Array:
     reference, tableau.py:295-308).
     """
     piv = T[r_glob, j]
-    prow = T[r_glob, :] / piv
+    prow = T[r_glob, :] * (1.0 / piv)
     colv = T[:, j]
+    nrows, ncols = T.shape
+    is_r = (jnp.arange(nrows) == r_glob)[:, None]
+    is_j = (jnp.arange(ncols) == j)[None, :]
+    # one fused elementwise pass: eliminate, overwrite the pivot row with the
+    # normalized row, snap column j to the exact unit vector (no
+    # dynamic-update-slice, so XLA fuses everything into a single read+write
+    # of the tableau)
     Tn = T - colv[:, None] * prow[None, :]
-    Tn = Tn.at[r_glob, :].set(prow)
-    nrows = T.shape[0]
-    unit = (jnp.arange(nrows) == r_glob).astype(T.dtype)
-    Tn = Tn.at[:, j].set(unit)
+    Tn = jnp.where(is_r, prow[None, :], Tn)
+    Tn = jnp.where(is_j, is_r.astype(T.dtype), Tn)
     return Tn
-
-
-def _do_pivot(state: SimplexState, opts: SolverOptions,
-              stall_limit: int, r: jax.Array, j: jax.Array) -> SimplexState:
-    T = pivot_update(state.T, r + 2, j)
-    basis = state.basis.at[r].set(j)
-    # stall detection against the CURRENT phase objective (fix of
-    # SURVEY.md §2.7-2: the reference compared against a stale value)
-    z = jnp.where(state.phase == 1, -T[1, -1], -T[0, -1])
-    improved = (state.last_z - z) > opts.degen_tol
-    stuck = jnp.where(improved, 0, state.stuck + 1).astype(jnp.int32)
-    bland = state.bland | (stuck >= stall_limit)
-    return state._replace(
-        T=T,
-        basis=basis,
-        niter=state.niter + 1,
-        stuck=stuck,
-        bland=bland,
-        last_z=z,
-    )
-
-
-def _drive_out_artificials(state: SimplexState, opts: SolverOptions
-                           ) -> SimplexState:
-    """Pivot every basic artificial out of the basis at the end of phase 1.
-
-    A basic artificial at value 0 is NOT inert: a later pivot whose entering
-    column has a negative entry in its row makes it grow, silently breaking
-    primal feasibility (empirically reproduced; the rational reference
-    performs the same drive-out at simplex.py:69-84). Pivoting on ANY nonzero
-    original-column entry in the row is feasibility-preserving because the
-    row's RHS is 0. Rows with no eligible entry are linearly dependent: their
-    artificial stays basic, and since every active entry of the row is ~0 the
-    row can no longer interact with future pivots."""
-    m = state.m
-
-    def body(i, s):
-        is_art = s.art_cols[s.basis[i]]
-        row = s.T[2 + i, :-1]
-        elig = s.col_active & ~s.art_cols & (jnp.abs(row) > opts.piv_tol)
-        has = jnp.any(elig)
-        j = jnp.argmax(elig).astype(jnp.int32)
-
-        def do(s2):
-            T = pivot_update(s2.T, i + 2, j)
-            return s2._replace(T=T, basis=s2.basis.at[i].set(j))
-
-        return lax.cond(is_art & has, do, lambda s2: s2, s)
-
-    return lax.fori_loop(0, m, body, state)
-
-
-def _on_phase_optimal(state: SimplexState, opts: SolverOptions) -> SimplexState:
-    """No improving column: finish phase 2, or transition phase 1 -> 2."""
-    z1 = -state.T[1, -1]
-
-    def finish_phase2(s):
-        return s._replace(status=jnp.asarray(Status.OPTIMAL, jnp.int32))
-
-    def finish_phase1(s):
-        infeasible = z1 > opts.infeas_tol
-
-        def to_infeasible(s2):
-            return s2._replace(status=jnp.asarray(Status.INFEASIBLE, jnp.int32))
-
-        def to_phase2(s2):
-            dtype = s2.T.dtype
-            s2 = _drive_out_artificials(s2, opts)
-            return s2._replace(
-                phase=jnp.asarray(2, jnp.int32),
-                col_active=s2.col_active & ~s2.art_cols,
-                stuck=jnp.asarray(0, jnp.int32),
-                last_z=jnp.asarray(jnp.inf, dtype),
-            )
-
-        return lax.cond(infeasible, to_infeasible, to_phase2, s)
-
-    return lax.cond(state.phase == 1, finish_phase1, finish_phase2, state)
 
 
 def simplex_step(state: SimplexState, opts: SolverOptions,
                  stall_limit: int) -> SimplexState:
-    """One transition of the solver state machine (a no-op once terminal)."""
-    has_improving, has_ratio, r, j = choose_pivot(state, opts)
+    """One transition of the solver state machine — fully BRANCHLESS.
 
-    def when_improving(s):
-        def unbounded(s2):
-            # phase 1 is bounded below by 0; a no-positive-entry column there
-            # means numerical failure — report infeasible conservatively
-            code = jnp.where(
-                s2.phase == 1,
-                jnp.int32(Status.INFEASIBLE),
-                jnp.int32(Status.UNBOUNDED),
-            )
-            return s2._replace(status=code)
+    Every iteration performs exactly one unconditional ``pivot_update``; all
+    control flow lives in scalars. When no real pivot should happen (terminal
+    state, phase transition, dependent cleanup row) the update is redirected
+    to the exact no-op pivot ``(row 0, basis[0])``: a basic column is an
+    exact unit vector (entering columns are snapped on every pivot), so
+    pivoting on it reproduces the tableau bit-for-bit.
 
-        return lax.cond(
-            has_ratio,
-            lambda s2: _do_pivot(s2, opts, stall_limit, r, j),
-            unbounded,
-            s,
-        )
+    Why branchless: a ``lax.cond`` whose branches carry the (m+2)x(n+1)
+    tableau costs a full-tableau copy on the untaken side (and under vmap
+    BOTH branches execute every iteration). Measured on a 4096x8192 f32
+    tableau this restructure is what moves the per-pivot cost toward the
+    single read+write HBM bound.
 
-    return lax.cond(
-        has_improving,
-        when_improving,
-        lambda s: _on_phase_optimal(s, opts),
-        state,
+    The end-of-phase-1 artificial drive-out (see git history for the
+    motivation: zero-value basic artificials grow when an entering column
+    has a negative entry in their row) is folded into the same uniform
+    iteration: in phase 2, while any basic artificial remains, the iteration
+    pivots it out on the first active column with a nonzero entry in its row
+    (feasibility-preserving because that row's RHS is 0); a row with no such
+    entry is linearly dependent and its artificial is reclassified as
+    permanently-inactive structural (cleared from ``art_cols`` — it can
+    never be priced because ``col_active`` already excludes it)."""
+    T = state.T
+    dtype = T.dtype
+    n = state.n
+    inf = jnp.asarray(jnp.inf, dtype)
+    running = state.status == Status.RUNNING
+
+    # ---- cleanup scan: basic artificials still in the basis (phase 2) -----
+    art_basic = state.art_cols[state.basis]           # (m,) bool
+    in_phase2 = state.phase == 2
+    cleanup = jnp.any(art_basic) & in_phase2
+    r_d = jnp.argmax(art_basic).astype(jnp.int32)     # first such row
+    row_d = T[2 + r_d, :-1]
+    elig = state.col_active & ~state.art_cols & (jnp.abs(row_d) > opts.piv_tol)
+    has_elig = jnp.any(elig)
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+    j_d = jnp.min(jnp.where(elig, col_ids, n - 1)).astype(jnp.int32)
+    # dependent row: retire its artificial so the scan never re-selects it
+    retire = cleanup & ~has_elig & running
+    art_cols = jnp.where(
+        retire,
+        state.art_cols.at[state.basis[r_d]].set(False),
+        state.art_cols,
+    )
+
+    # ---- pricing ----------------------------------------------------------
+    crow = jnp.where(state.phase == 1, T[1, :-1], T[0, :-1])
+    c_eff = jnp.where(state.col_active, crow, inf)
+    improving = c_eff < -opts.opt_tol
+    has_improving = jnp.any(improving)
+    use_bland = state.bland | (opts.rule == RULE_BLAND)
+    j_dantzig = jnp.argmin(c_eff).astype(jnp.int32)
+    j_bland = jnp.min(jnp.where(improving, col_ids, n - 1)).astype(jnp.int32)
+    j_price = jnp.where(use_bland, j_bland, j_dantzig)
+
+    # ---- phase bookkeeping scalars ----------------------------------------
+    z1 = -T[1, -1]
+    phase1_done = (state.phase == 1) & ~has_improving & running
+    became_infeasible = phase1_done & (z1 > opts.infeas_tol)
+    to_phase2 = phase1_done & ~became_infeasible
+    pricing_pivot = has_improving & ~cleanup & ~phase1_done
+
+    # ---- entering column + ratio test -------------------------------------
+    j = jnp.where(cleanup, j_d, j_price)
+    col = T[2:, j]
+    b = T[2:, -1]
+    pos = col > opts.piv_tol
+    has_ratio = jnp.any(pos)
+    ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), inf)
+    min_ratio = jnp.min(ratios)
+    tie = ratios <= min_ratio
+    r_first = jnp.argmax(tie).astype(jnp.int32)
+    r_bland = jnp.argmin(
+        jnp.where(tie, state.basis, jnp.int32(2**30))).astype(jnp.int32)
+    r_price = jnp.where(use_bland, r_bland, r_first)
+
+    became_unbounded = pricing_pivot & ~has_ratio & in_phase2
+    # phase 1 is bounded below by 0: no-ratio there means numerical failure;
+    # report infeasible conservatively
+    became_failed1 = pricing_pivot & ~has_ratio & ~in_phase2
+
+    # ---- the one pivot ----------------------------------------------------
+    do_cleanup = cleanup & has_elig & running
+    do_pricing = pricing_pivot & has_ratio & running
+    do_pivot = do_cleanup | do_pricing
+    r = jnp.where(do_cleanup, r_d, r_price)
+    r_eff = jnp.where(do_pivot, r + 2, 2)
+    j_eff = jnp.where(do_pivot, j, state.basis[0])
+    Tn = pivot_update(T, r_eff, j_eff)
+
+    basis = jnp.where(do_pivot, state.basis.at[r].set(j), state.basis)
+
+    # ---- stall / Bland switch (pricing pivots only; fix of SURVEY §2.7-2:
+    # compare against the CURRENT objective, not a stale snapshot) ----------
+    z = jnp.where(state.phase == 1, -Tn[1, -1], -Tn[0, -1])
+    improved = (state.last_z - z) > opts.degen_tol
+    stuck = jnp.where(
+        do_pricing,
+        jnp.where(improved, 0, state.stuck + 1),
+        state.stuck,
+    ).astype(jnp.int32)
+    last_z = jnp.where(do_pricing, z, state.last_z)
+    bland = state.bland | (stuck >= stall_limit)
+
+    # ---- phase transition + termination (all scalar selects) --------------
+    phase = jnp.where(to_phase2, 2, state.phase).astype(jnp.int32)
+    col_active = jnp.where(to_phase2, state.col_active & ~art_cols,
+                           state.col_active)
+    stuck = jnp.where(to_phase2, 0, stuck)
+    last_z = jnp.where(to_phase2, inf, last_z)
+
+    finished_opt = in_phase2 & ~has_improving & ~cleanup
+    new_status = jnp.where(
+        became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+        jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                  jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                            jnp.int32(Status.RUNNING))))
+    status = jnp.where(running, new_status, state.status)
+
+    return SimplexState(
+        T=Tn,
+        basis=basis,
+        col_active=col_active,
+        art_cols=art_cols,
+        phase=phase,
+        status=status,
+        niter=state.niter + do_pivot.astype(jnp.int32),
+        stuck=stuck,
+        bland=bland,
+        last_z=last_z,
     )
 
 
@@ -227,12 +261,10 @@ def _compiled_driver(opts: SolverOptions, stall_limit: int):
             return (s.status == Status.RUNNING) & (s.niter < opts.max_iters)
 
         def body(s):
-            # freeze terminal lanes: under vmap the loop runs until EVERY
-            # lane terminates, and finished lanes must not keep pivoting
-            s_new = simplex_step(s, opts, stall_limit)
-            running = s.status == Status.RUNNING
-            return jax.tree.map(
-                lambda new, old: jnp.where(running, new, old), s_new, s)
+            # simplex_step is internally frozen for terminal lanes (its
+            # pivot becomes an exact no-op and every mutation is guarded on
+            # status==RUNNING), so vmapped lanes that finish early coast
+            return simplex_step(s, opts, stall_limit)
 
         out = lax.while_loop(cond, body, state)
         hit_limit = (out.status == Status.RUNNING)
