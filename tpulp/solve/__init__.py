@@ -8,6 +8,7 @@ from .driver import (
     run_simplex,
     simplex_step,
 )
+from .blocked import run_simplex_blocked
 from .refine import exact_basis_solve, refine_basis_solution
 
 __all__ = [
@@ -16,6 +17,7 @@ __all__ = [
     "solve_standard_form",
     "state_from_standard_form",
     "run_simplex",
+    "run_simplex_blocked",
     "simplex_step",
     "choose_pivot",
     "pivot_update",
