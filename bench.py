@@ -64,14 +64,19 @@ def _timed_pivots(state, opts, run):
 
 
 def run_bench(m=4096, n_struct=4096, pivots=300, dtype_name="float32",
-              seed=0, verbose=False):
+              seed=0, verbose=False, driver="blocked", block=128):
     """Pivot throughput via two-point differencing: run the driver with a
     small and a large pivot budget; the rate is d(pivots)/d(time), which
     cancels dispatch overhead and the fixed ~50ms tunnel read latency."""
     import jax.numpy as jnp
 
     from tpulp.core import SolverOptions
-    from tpulp.solve import run_simplex
+    from tpulp.solve import run_simplex, run_simplex_blocked
+
+    if driver == "blocked":
+        run = lambda s, o: run_simplex_blocked(s, o, block=block)  # noqa: E731
+    else:
+        run = run_simplex
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
     state = make_bench_state(m, n_struct, dtype, seed=seed)
@@ -83,12 +88,12 @@ def run_bench(m=4096, n_struct=4096, pivots=300, dtype_name="float32",
 
     # compile both executables
     t0 = time.time()
-    _timed_pivots(state, o_small, run_simplex)
-    _timed_pivots(state, o_big, run_simplex)
+    _timed_pivots(state, o_small, run)
+    _timed_pivots(state, o_big, run)
     t_warm = time.time() - t0
 
-    n_small, t_small = _timed_pivots(state, o_small, run_simplex)
-    n_big, t_big = _timed_pivots(state, o_big, run_simplex)
+    n_small, t_small = _timed_pivots(state, o_small, run)
+    n_big, t_big = _timed_pivots(state, o_big, run)
     if n_big <= n_small:
         # converged before the big budget: fall back to single-run rate
         rate = n_big / t_big
@@ -112,6 +117,10 @@ def main():
     ap.add_argument("--pivots", type=int, default=300)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
+    ap.add_argument("--driver", default="blocked",
+                    choices=["blocked", "rank1"])
+    ap.add_argument("--block", type=int, default=128,
+                    help="rank-K block size for the blocked driver")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
@@ -120,7 +129,8 @@ def main():
         parity_check()
 
     rate, _ = run_bench(m=args.m, n_struct=args.n, pivots=args.pivots,
-                        dtype_name=args.dtype, verbose=args.verbose)
+                        dtype_name=args.dtype, verbose=args.verbose,
+                        driver=args.driver, block=args.block)
     target = 1e4
     print(json.dumps({
         "metric": f"simplex pivot throughput, {args.m}x{args.m + args.n} "

@@ -213,11 +213,49 @@ def _fetch_column(T_local, j, axis: str):
 
 def _sharded_step(s: ShardedState, opts: SolverOptions, stall_limit: int,
                   n_global: int, axis: str) -> ShardedState:
+    """One BRANCHLESS transition of the sharded state machine.
+
+    Mirrors ``tpulp.solve.driver.simplex_step`` (same decision logic, same
+    no-op-pivot freezing for terminal states, same in-iteration phase
+    transition and artificial cleanup) with the three collectives of the
+    column-partitioned layout: an all_gather of per-shard pricing candidates,
+    pmin reductions for first-index rules, and one psum to broadcast the
+    entering column. Branchless for the same reason as the local driver: a
+    lax.cond carrying the local tableau block costs a copy of it on the
+    untaken side every iteration."""
     dtype = s.T.dtype
     n_local = s.T.shape[1]
     m = s.basis.shape[0]
+    nrows = s.T.shape[0]
     ax = lax.axis_index(axis)
     inf = jnp.asarray(jnp.inf, dtype)
+    running = s.status == Status.RUNNING
+    in_phase2 = s.phase == 2
+    local_ids = (jnp.arange(n_local, dtype=jnp.int32) + ax * n_local)
+    BIG = jnp.int32(2**30)
+
+    # ---- cleanup scan: which rows hold a basic artificial ------------------
+    # basis is replicated; each shard gathers its owned entries, psum merges
+    owner_b = (s.basis // n_local) == ax                       # (m,)
+    art_at_basis = s.art_cols[s.basis % n_local]               # local gather
+    art_basic = lax.psum(
+        jnp.where(owner_b, art_at_basis.astype(jnp.int32), 0), axis) > 0
+    cleanup = jnp.any(art_basic) & in_phase2 & running
+    r_d = jnp.argmax(art_basic).astype(jnp.int32)
+    row_d = s.T[2 + r_d, :]                                    # local slice
+    elig = s.col_active & ~s.art_cols & (jnp.abs(row_d) > opts.piv_tol)
+    l_first_elig = jnp.min(jnp.where(elig, local_ids, BIG))
+    j_d = lax.pmin(l_first_elig, axis)
+    has_elig = j_d < BIG
+    j_d = jnp.minimum(j_d, n_global - 1)
+    # dependent row: retire its artificial (owner shard clears the bit)
+    retire = cleanup & ~has_elig
+    basis_rd = s.basis[r_d]
+    owner_rd = (basis_rd // n_local) == ax
+    art_cols = jnp.where(
+        retire & owner_rd,
+        s.art_cols.at[basis_rd % n_local].set(False),
+        s.art_cols)
 
     # ---- pricing: per-shard candidate + tiny all_gather reduction ----------
     crow = jnp.where(s.phase == 1, s.T[1], s.T[0])
@@ -229,20 +267,24 @@ def _sharded_step(s: ShardedState, opts: SolverOptions, stall_limit: int,
     k = jnp.argmin(g_vals)
     j_dantzig = g_idxs[k]
     c_min = g_vals[k]
-
-    local_ids = (jnp.arange(n_local, dtype=jnp.int32) + ax * n_local)
     improving_l = c_eff < -opts.opt_tol
     l_first = jnp.min(jnp.where(improving_l, local_ids, n_global))
     j_bland = lax.pmin(l_first, axis)
-
     has_improving = c_min < -opts.opt_tol
     use_bland = s.bland | (opts.rule == RULE_BLAND)
-    j = jnp.where(use_bland, jnp.minimum(j_bland, n_global - 1), j_dantzig)
+    j_price = jnp.where(
+        use_bland, jnp.minimum(j_bland, n_global - 1), j_dantzig)
 
-    # ---- entering column via psum broadcast --------------------------------
+    # ---- phase bookkeeping scalars ----------------------------------------
+    z1 = -s.rhs[1]
+    phase1_done = (s.phase == 1) & ~has_improving & running
+    became_infeasible = phase1_done & (z1 > opts.infeas_tol)
+    to_phase2 = phase1_done & ~became_infeasible
+    pricing_pivot = has_improving & ~cleanup & ~phase1_done
+
+    # ---- entering column via psum broadcast + replicated ratio test --------
+    j = jnp.where(cleanup, j_d, j_price)
     u, owner, j_local = _fetch_column(s.T, j, axis)
-
-    # ---- replicated ratio test ---------------------------------------------
     col = u[2:]
     b = s.rhs[2:]
     pos = col > opts.piv_tol
@@ -251,109 +293,78 @@ def _sharded_step(s: ShardedState, opts: SolverOptions, stall_limit: int,
     min_ratio = jnp.min(ratios)
     tie = ratios <= min_ratio
     r_first = jnp.argmax(tie).astype(jnp.int32)
-    r_bland = jnp.argmin(
-        jnp.where(tie, s.basis, jnp.int32(2**30))).astype(jnp.int32)
-    r = jnp.where(use_bland, r_bland, r_first)
+    r_bland = jnp.argmin(jnp.where(tie, s.basis, BIG)).astype(jnp.int32)
+    r_price = jnp.where(use_bland, r_bland, r_first)
 
-    def do_pivot(s2: ShardedState) -> ShardedState:
-        rg = r + 2
-        piv = u[rg]
-        inv = 1.0 / piv
-        prow = s2.T[rg, :] * inv                       # local slice
-        Tn = s2.T - u[:, None] * prow[None, :]
-        Tn = Tn.at[rg, :].set(prow)
-        # owner snaps the entering column to an exact unit vector
-        unit = (jnp.arange(s2.T.shape[0]) == rg).astype(dtype)
-        is_j = owner & (jnp.arange(n_local) == j_local)
-        Tn = jnp.where(is_j[None, :], unit[:, None], Tn)
-        rhs_piv = s2.rhs[rg] * inv
-        rhsn = s2.rhs - u * rhs_piv
-        rhsn = rhsn.at[rg].set(rhs_piv)
-        basis = s2.basis.at[r].set(j)
-        z = jnp.where(s2.phase == 1, -rhsn[1], -rhsn[0])
-        improved = (s2.last_z - z) > opts.degen_tol
-        stuck = jnp.where(improved, 0, s2.stuck + 1).astype(jnp.int32)
-        return s2._replace(
-            T=Tn, rhs=rhsn, basis=basis, niter=s2.niter + 1, stuck=stuck,
-            bland=s2.bland | (stuck >= stall_limit), last_z=z)
+    became_unbounded = pricing_pivot & ~has_ratio & in_phase2 & running
+    became_failed1 = pricing_pivot & ~has_ratio & ~in_phase2 & running
 
-    def when_improving(s2):
-        def unbounded(s3):
-            code = jnp.where(s3.phase == 1, jnp.int32(Status.INFEASIBLE),
-                             jnp.int32(Status.UNBOUNDED))
-            return s3._replace(status=code)
+    # ---- the one pivot (no-op redirect when idle) --------------------------
+    do_cleanup = cleanup & has_elig
+    do_pricing = pricing_pivot & has_ratio & running
+    do_pivot = do_cleanup | do_pricing
+    r = jnp.where(do_cleanup, r_d, r_price)
+    rg = jnp.where(do_pivot, r + 2, 2)
+    # no-op pivot: basis[0]'s column is an exact unit vector (snapped), so
+    # pivoting on (row 2, basis[0]) reproduces the block bit-for-bit
+    j_eff = jnp.where(do_pivot, j, s.basis[0])
+    u_eff, owner_eff, j_local_eff = lax.cond(
+        do_pivot,
+        lambda: (u, owner, j_local),
+        lambda: _fetch_column(s.T, s.basis[0], axis),
+    )
+    piv = u_eff[rg]
+    invp = 1.0 / piv
+    prow = s.T[rg, :] * invp                        # local pivot-row slice
+    Tn = s.T - u_eff[:, None] * prow[None, :]
+    is_rg = (jnp.arange(nrows) == rg)[:, None]
+    Tn = jnp.where(is_rg, prow[None, :], Tn)
+    unit = is_rg[:, 0].astype(dtype)
+    is_j = owner_eff & (jnp.arange(n_local) == j_local_eff)
+    Tn = jnp.where(is_j[None, :], unit[:, None], Tn)
+    rhs_piv = s.rhs[rg] * invp
+    rhsn = s.rhs - u_eff * rhs_piv
+    rhsn = rhsn.at[rg].set(rhs_piv)
 
-        return lax.cond(has_ratio, do_pivot, unbounded, s2)
+    basis = jnp.where(do_pivot, s.basis.at[r].set(j), s.basis)
 
-    def on_optimal(s2):
-        z1 = -s2.rhs[1]
+    # ---- stall / Bland switch ---------------------------------------------
+    z = jnp.where(s.phase == 1, -rhsn[1], -rhsn[0])
+    improved = (s.last_z - z) > opts.degen_tol
+    stuck = jnp.where(
+        do_pricing,
+        jnp.where(improved, 0, s.stuck + 1),
+        s.stuck).astype(jnp.int32)
+    last_z = jnp.where(do_pricing, z, s.last_z)
+    bland = s.bland | (stuck >= stall_limit)
 
-        def finish2(s3):
-            return s3._replace(status=jnp.asarray(Status.OPTIMAL, jnp.int32))
+    # ---- phase transition + termination ------------------------------------
+    phase = jnp.where(to_phase2, 2, s.phase).astype(jnp.int32)
+    col_active = jnp.where(to_phase2, s.col_active & ~art_cols, s.col_active)
+    stuck = jnp.where(to_phase2, 0, stuck)
+    last_z = jnp.where(to_phase2, inf, last_z)
 
-        def finish1(s3):
-            def to_infeas(s4):
-                return s4._replace(
-                    status=jnp.asarray(Status.INFEASIBLE, jnp.int32))
+    finished_opt = in_phase2 & ~has_improving & ~cleanup & running
+    new_status = jnp.where(
+        became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+        jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                  jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                            jnp.int32(Status.RUNNING))))
+    status = jnp.where(running, new_status, s.status)
 
-            def to_phase2(s4):
-                s4 = _drive_out_sharded(s4, opts, axis)
-                return s4._replace(
-                    phase=jnp.asarray(2, jnp.int32),
-                    col_active=s4.col_active & ~s4.art_cols,
-                    stuck=jnp.asarray(0, jnp.int32),
-                    last_z=inf,
-                )
-
-            return lax.cond(z1 > opts.infeas_tol, to_infeas, to_phase2, s3)
-
-        return lax.cond(s2.phase == 1, finish1, finish2, s2)
-
-    return lax.cond(has_improving, when_improving, on_optimal, s)
-
-
-def _drive_out_sharded(s: ShardedState, opts: SolverOptions, axis: str
-                       ) -> ShardedState:
-    """Sharded version of the end-of-phase-1 artificial drive-out (see
-    tpulp.solve.driver._drive_out_artificials)."""
-    m = s.basis.shape[0]
-    n_local = s.T.shape[1]
-    dtype = s.T.dtype
-
-    # replicated knowledge of which columns are artificial, by basis index:
-    # fetch per-row basis artificial-ness via psum of local masks
-    def body(i, s2):
-        ax = lax.axis_index(axis)
-        jb = s2.basis[i]
-        owner_b = (jb // n_local) == ax
-        is_art = lax.psum(
-            jnp.where(owner_b, s2.art_cols[jb % n_local].astype(jnp.int32), 0),
-            axis) > 0
-        row = s2.T[2 + i, :]
-        elig = s2.col_active & ~s2.art_cols & (jnp.abs(row) > opts.piv_tol)
-        local_ids = (jnp.arange(n_local, dtype=jnp.int32) + ax * n_local)
-        l_first = jnp.min(jnp.where(elig, local_ids, jnp.int32(2**30)))
-        j = lax.pmin(l_first, axis)
-        has = j < jnp.int32(2**30)
-
-        def do(s3):
-            u, owner, j_local = _fetch_column(s3.T, j, axis)
-            rg = i + 2
-            inv = 1.0 / u[rg]
-            prow = s3.T[rg, :] * inv
-            Tn = s3.T - u[:, None] * prow[None, :]
-            Tn = Tn.at[rg, :].set(prow)
-            unit = (jnp.arange(s3.T.shape[0]) == rg).astype(dtype)
-            is_j = owner & (jnp.arange(n_local) == j_local)
-            Tn = jnp.where(is_j[None, :], unit[:, None], Tn)
-            rhs_piv = s3.rhs[rg] * inv
-            rhsn = s3.rhs - u * rhs_piv
-            rhsn = rhsn.at[rg].set(rhs_piv)
-            return s3._replace(T=Tn, rhs=rhsn, basis=s3.basis.at[i].set(j))
-
-        return lax.cond(is_art & has, do, lambda s3: s3, s2)
-
-    return lax.fori_loop(0, m, body, s)
+    return ShardedState(
+        T=Tn,
+        rhs=rhsn,
+        basis=basis,
+        col_active=col_active,
+        art_cols=art_cols,
+        phase=phase,
+        status=status,
+        niter=s.niter + do_pivot.astype(jnp.int32),
+        stuck=stuck,
+        bland=bland,
+        last_z=last_z,
+    )
 
 
 @functools.lru_cache(maxsize=16)

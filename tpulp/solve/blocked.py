@@ -1,35 +1,35 @@
 """Rank-K blocked simplex driver: amortize tableau traffic over K pivots.
 
 The rank-1 driver (``driver.py``) is HBM-bound: every pivot reads and writes
-the whole (m+2)x(n+1) tableau (~268MB per pivot at 4096x8192 f32), capping
-throughput at ~3k pivots/s per chip. This driver uses the product-form-of-
-inverse idea reshaped for TPU:
+the whole (m+2)x(n+1) tableau (~268MB per pivot at 4096x8192 f32). This
+driver uses the product-form-of-inverse idea reshaped for TPU:
 
-* K-1 consecutive pivots are performed WITHOUT touching the tableau. Pivot t
-  appends an eta pair: ``U[:, t] = (e_r - u)/piv`` (the elimination vector,
-  where ``u`` is the CURRENT entering column) and ``V[t, :] = current pivot
-  row``; the tableau-after-t-pivots is implicitly ``T0 + U V``.
-* The decisions each pivot needs are reconstructed cheaply:
-    - reduced-cost rows and the RHS column are maintained incrementally
-      (O(n)/O(m) vector updates per pivot),
-    - the entering column is ``T0[:, j] + U @ V[:, j]`` (one tableau column
-      + an (m x K) matvec),
-    - the pivot row is ``T0[r, :] + U[r, :] @ V`` (one tableau row + a
-      (K x n) vec-mat).
-* Once per block the accumulated rank-K update flushes as ONE matmul
-  ``T <- T0 + U @ V`` — an MXU op with a single read+write of the tableau —
-  and one ordinary branchless ``simplex_step`` runs on the flushed tableau
-  to handle everything unusual (phase transition, artificial cleanup,
-  unbounded/infeasible/optimal termination) with full generality.
+* K consecutive pivots run WITHOUT touching the tableau. Pivot t appends an
+  eta pair: ``U[t, :] = (e_r - u)/piv`` (the elimination vector, ``u`` = the
+  CURRENT entering column) and ``V[t, :] = current pivot row``; the tableau
+  after t pivots is implicitly ``T0 + U^T V`` (eta index on the MAJOR axis
+  of both factors: a minor-axis dynamic_update_slice costs ~0.5ms/iter on
+  TPU vs ~1us for a row update — measured, an 8x whole-loop difference).
+* Every decision is reconstructed cheaply:
+    - reduced-cost rows (both phases) and the RHS column are maintained
+      incrementally (O(n)/O(m) vector updates per pivot),
+    - the entering column is ``T0[:, j] + einsum(V[:, j], U)`` (one tableau
+      column + small contractions),
+    - the pivot row is ``T0[r, :] + einsum(U[:, r], V)``.
+* The FULL state machine lives inside the blocked iteration — phase-1 to
+  phase-2 transition, basic-artificial cleanup pivots (their reconstruction
+  row is fetched under a cond over an (n+1)-vector, cheap), dependent-row
+  retirement, and optimal/unbounded/infeasible termination — so a block is
+  K uniform iterations plus ONE rank-K MXU flush (``T += U^T V``), a single
+  read+write of the tableau per K pivots.
 
-Net HBM traffic per pivot drops from 2·m·n to ~(2·m·n)/K + K·n (the V read),
-a >10x reduction for K=32. Inner pivots that encounter anything unusual
-simply coast (zero eta) until the block boundary; the outer plain step —
-the single source of truth for corner cases — resolves it.
+Net HBM traffic per pivot: ~(2 m n)/K + K n (the V read), >20x below the
+rank-1 driver for K=64.
 
 The decision logic (Dantzig/Bland pricing, ratio-test tie-breaks, stall
-detection) is IDENTICAL to the rank-1 driver, so both drivers walk the same
-pivot path modulo float roundoff.
+detection keyed on the current objective) is IDENTICAL to the rank-1 driver,
+so both walk the same pivot path modulo float roundoff; tests pin equal
+basis sequences.
 """
 
 from __future__ import annotations
@@ -42,20 +42,18 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.state import RULE_BLAND, SimplexState, SolverOptions, Status
-from .driver import simplex_step
 
 __all__ = ["run_simplex_blocked"]
 
 
 class _BlockCarry(NamedTuple):
     s: SimplexState      # s.T is the STALE block-start tableau T0
-    U: jax.Array         # (K, m+2) eta vectors as ROWS (zero-padded beyond t)
-    V: jax.Array         # (K, n+1) pivot rows (zero-padded beyond t)
-    t: jax.Array         # () int32: etas accumulated
+    U: jax.Array         # (K, m+2) eta vectors as rows (zero beyond t)
+    V: jax.Array         # (K, n+1) pivot rows (zero beyond t)
+    t: jax.Array         # () int32: etas accumulated this block
     row0: jax.Array      # (n+1,) current phase-2 objective row
     row1: jax.Array      # (n+1,) current phase-1 objective row
     bvec: jax.Array      # (m+2,) current RHS column
-    defer: jax.Array     # () bool: unusual event -> coast to block end
 
 
 def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
@@ -65,29 +63,49 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     n = s.n
     inf = jnp.asarray(jnp.inf, dtype)
     running = s.status == Status.RUNNING
+    in_phase2 = s.phase == 2
 
-    # anything unusual is deferred to the outer plain step: basic artificials
-    # needing cleanup (possible right after a phase transition)...
-    needs_cleanup = jnp.any(s.art_cols[s.basis]) & (s.phase == 2)
+    # ---- cleanup scan: basic artificials left from phase 1 ----------------
+    art_basic = s.art_cols[s.basis]
+    cleanup = jnp.any(art_basic) & in_phase2 & running
+    r_d = jnp.argmax(art_basic).astype(jnp.int32)
+    # the cleanup row is only materialized when needed (cond over an
+    # (n+1)-vector is cheap; computing it every pivot would double V reads)
+    row_d = lax.cond(
+        cleanup,
+        lambda: carry.s.T[2 + r_d, :] + jnp.einsum(
+            'k,kn->n', carry.U[:, 2 + r_d], carry.V),
+        lambda: jnp.zeros((n + 1,), dtype),
+    )
+    elig = s.col_active & ~s.art_cols & (jnp.abs(row_d[:-1]) > opts.piv_tol)
+    has_elig = jnp.any(elig)
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+    j_d = jnp.min(jnp.where(elig, col_ids, n - 1)).astype(jnp.int32)
+    # dependent row: retire its artificial so the scan never re-selects it
+    retire = cleanup & ~has_elig
+    art_cols = jnp.where(
+        retire, s.art_cols.at[s.basis[r_d]].set(False), s.art_cols)
 
-    # ---- pricing on the maintained objective rows --------------------------
+    # ---- pricing on the maintained objective rows -------------------------
     crow = jnp.where(s.phase == 1, carry.row1[:-1], carry.row0[:-1])
     c_eff = jnp.where(s.col_active, crow, inf)
     improving = c_eff < -opts.opt_tol
     has_improving = jnp.any(improving)
     use_bland = s.bland | (opts.rule == RULE_BLAND)
-    col_ids = jnp.arange(n, dtype=jnp.int32)
     j_dantzig = jnp.argmin(c_eff).astype(jnp.int32)
     j_bland = jnp.min(jnp.where(improving, col_ids, n - 1)).astype(jnp.int32)
-    j = jnp.where(use_bland, j_bland, j_dantzig)
+    j_price = jnp.where(use_bland, j_bland, j_dantzig)
 
-    # ---- current entering column: T0 column + corrections ------------------
-    # both eta factors keep the eta index on the MAJOR axis: a minor-axis
-    # (lane-offset) dynamic_update_slice costs ~0.5ms/iter on TPU vs ~1us
-    # for a row update (measured), an 8x difference for the whole inner loop
+    # ---- phase bookkeeping scalars ----------------------------------------
+    z1 = -carry.row1[-1]
+    phase1_done = (s.phase == 1) & ~has_improving & running
+    became_infeasible = phase1_done & (z1 > opts.infeas_tol)
+    to_phase2 = phase1_done & ~became_infeasible
+    pricing_pivot = has_improving & ~cleanup & (s.phase != 0) & running
+
+    # ---- entering column + ratio test -------------------------------------
+    j = jnp.where(cleanup, j_d, j_price)
     colj = s.T[:, j] + jnp.einsum('k,km->m', carry.V[:, j], carry.U)
-
-    # ---- ratio test on maintained b ---------------------------------------
     col = colj[2:]
     b = carry.bvec[2:]
     pos = col > opts.piv_tol
@@ -98,20 +116,28 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     r_first = jnp.argmax(tie).astype(jnp.int32)
     r_bland = jnp.argmin(
         jnp.where(tie, s.basis, jnp.int32(2**30))).astype(jnp.int32)
-    r = jnp.where(use_bland, r_bland, r_first)
+    r_price = jnp.where(use_bland, r_bland, r_first)
 
-    # ...no improving column (optimal/phase end) or no ratio (unbounded)
-    defer = carry.defer | needs_cleanup | ~has_improving | ~has_ratio
-    act = running & ~defer & (s.niter < opts.max_iters)
+    became_unbounded = pricing_pivot & ~has_ratio & in_phase2
+    # phase 1 is bounded below by 0: no-ratio means numerical failure
+    became_failed1 = pricing_pivot & ~has_ratio & ~in_phase2
+
+    # ---- the one (possibly zero) eta pivot --------------------------------
+    do_cleanup = cleanup & has_elig
+    do_pricing = pricing_pivot & has_ratio
+    act = (do_cleanup | do_pricing) & (s.niter < opts.max_iters)
     actf = act.astype(dtype)
-
-    # ---- append the eta pair ----------------------------------------------
+    r = jnp.where(do_cleanup, r_d, r_price)
     rg = r + 2
     piv = colj[rg]
     safe_piv = jnp.where(act, piv, 1.0)
     w = ((jnp.arange(s.T.shape[0]) == rg).astype(dtype) - colj) / safe_piv
     w = w * actf
-    vrow = (s.T[rg, :] + jnp.einsum('k,kn->n', carry.U[:, rg], carry.V)) * actf
+    vrow = lax.cond(
+        do_cleanup,
+        lambda: row_d,
+        lambda: s.T[rg, :] + jnp.einsum('k,kn->n', carry.U[:, rg], carry.V),
+    ) * actf
     zero = jnp.zeros((), jnp.int32)
     U = lax.dynamic_update_slice(carry.U, w[None, :], (carry.t, zero))
     V = lax.dynamic_update_slice(carry.V, vrow[None, :], (carry.t, zero))
@@ -123,16 +149,37 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
 
     basis = jnp.where(act, s.basis.at[r].set(j), s.basis)
 
-    # ---- stall / Bland switch (same contract as the rank-1 driver) --------
+    # ---- stall / Bland switch (fix of SURVEY §2.7-2: current objective) ---
     z = jnp.where(s.phase == 1, -row1[-1], -row0[-1])
     improved = (s.last_z - z) > opts.degen_tol
     stuck = jnp.where(
-        act, jnp.where(improved, 0, s.stuck + 1), s.stuck).astype(jnp.int32)
-    last_z = jnp.where(act, z, s.last_z)
+        do_pricing & act,
+        jnp.where(improved, 0, s.stuck + 1),
+        s.stuck).astype(jnp.int32)
+    last_z = jnp.where(do_pricing & act, z, s.last_z)
     bland = s.bland | (stuck >= stall_limit)
 
-    s = s._replace(
+    # ---- phase transition + termination (all scalar selects) --------------
+    phase = jnp.where(to_phase2, 2, s.phase).astype(jnp.int32)
+    col_active = jnp.where(to_phase2, s.col_active & ~art_cols, s.col_active)
+    stuck = jnp.where(to_phase2, 0, stuck)
+    last_z = jnp.where(to_phase2, inf, last_z)
+
+    finished_opt = in_phase2 & ~has_improving & ~cleanup & running
+    new_status = jnp.where(
+        became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+        jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                  jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                            jnp.int32(Status.RUNNING))))
+    status = jnp.where(running, new_status, s.status)
+
+    s = SimplexState(
+        T=s.T,
         basis=basis,
+        col_active=col_active,
+        art_cols=art_cols,
+        phase=phase,
+        status=status,
         niter=s.niter + act.astype(jnp.int32),
         stuck=stuck,
         bland=bland,
@@ -140,7 +187,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     )
     return _BlockCarry(
         s=s, U=U, V=V, t=carry.t + act.astype(jnp.int32),
-        row0=row0, row1=row1, bvec=bvec, defer=defer)
+        row0=row0, row1=row1, bvec=bvec)
 
 
 @functools.lru_cache(maxsize=32)
@@ -151,14 +198,8 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
         N = state.T.shape[1]
         dtype = state.T.dtype
 
-        def outer_cond(carry):
-            s = carry.s
-            return (s.status == Status.RUNNING) & (s.niter < opts.max_iters)
-
-        def outer_body(carry):
-            s = carry.s
-            # fresh running vectors from the (current) tableau
-            carry = _BlockCarry(
+        def fresh_carry(s: SimplexState) -> _BlockCarry:
+            return _BlockCarry(
                 s=s,
                 U=jnp.zeros((K, M), dtype=dtype),
                 V=jnp.zeros((K, N), dtype=dtype),
@@ -166,36 +207,24 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
                 row0=s.T[0, :],
                 row1=s.T[1, :],
                 bvec=s.T[:, -1],
-                defer=jnp.asarray(False),
             )
-            # K-1 cheap pivots without touching the tableau
-            carry = lax.fori_loop(
-                0, K - 1,
-                lambda _, c: _blocked_pivot(c, opts, stall_limit),
-                carry)
-            # flush the rank-K update (one MXU matmul + one tableau pass);
-            # einsum contracts the leading eta axis of both factors without
-            # materializing a transpose
-            T = carry.s.T + jnp.einsum(
-                'km,kn->mn', carry.U, carry.V,
-                preferred_element_type=dtype)
-            s = carry.s._replace(T=T)
-            # ...and resolve any deferred event with the general step (also
-            # performs one ordinary pivot when nothing unusual happened)
-            s = simplex_step(s, opts, stall_limit)
-            return carry._replace(s=s)
 
-        init = _BlockCarry(
-            s=state,
-            U=jnp.zeros((K, M), dtype=dtype),
-            V=jnp.zeros((K, N), dtype=dtype),
-            t=jnp.asarray(0, jnp.int32),
-            row0=state.T[0, :],
-            row1=state.T[1, :],
-            bvec=state.T[:, -1],
-            defer=jnp.asarray(False),
-        )
-        out = lax.while_loop(outer_cond, outer_body, init).s
+        def outer_cond(carry):
+            s = carry.s
+            return (s.status == Status.RUNNING) & (s.niter < opts.max_iters)
+
+        def outer_body(carry):
+            # K uniform eta pivots, tableau untouched
+            carry = lax.fori_loop(
+                0, K, lambda _, c: _blocked_pivot(c, opts, stall_limit),
+                carry)
+            # ONE rank-K MXU flush: T += U^T V (einsum contracts the leading
+            # eta axis of both factors without materializing a transpose)
+            T = carry.s.T + jnp.einsum(
+                'km,kn->mn', carry.U, carry.V, preferred_element_type=dtype)
+            return fresh_carry(carry.s._replace(T=T))
+
+        out = lax.while_loop(outer_cond, outer_body, fresh_carry(state)).s
         return out._replace(status=jnp.where(
             out.status == Status.RUNNING,
             jnp.int32(Status.ITERATION_LIMIT), out.status))
@@ -206,7 +235,7 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
 def run_simplex_blocked(
     state: SimplexState,
     opts: SolverOptions | None = None,
-    block: int = 32,
+    block: int = 64,
 ) -> SimplexState:
     """Run the rank-K blocked driver to termination (single problem)."""
     if opts is None:
