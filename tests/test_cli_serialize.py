@@ -1,0 +1,90 @@
+"""Model JSON schema + CLI subcommands."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from tpulp import LinExpr, LinProg, LinVar
+from tpulp.model.serialize import load_prog, prog_from_json, prog_to_json, save_prog
+
+
+def sample_prog():
+    lp = LinProg("plan")
+    lp.addVar("x1")
+    lp.addVar("x2", ub="9/2")
+    lp.addVariable(LinVar("free", False, None, None))
+    lp.maximize(LinExpr(40, "x1", 30, "x2", 1, "free"))
+    lp.addConstraint(LinExpr(1, "x1", 1, "x2").constraintLeq(12))
+    lp.addConstraint(LinExpr(2, "x1", 1, "x2").constraintLeq(16))
+    lp.addConstraint(LinExpr(1, "free").constraintLeq(0))
+    return lp
+
+
+class TestModelJson:
+    def test_round_trip(self):
+        lp = sample_prog()
+        data = prog_to_json(lp)
+        lp2 = prog_from_json(data)
+        assert lp2.objective.sense == "max"
+        assert lp2.objective.expr == lp.objective.expr
+        assert len(lp2.constraints) == 3
+        assert lp2.vars["x2"].ub == lp.vars["x2"].ub
+        # canonical constraints survive as equivalent constraints
+        assert lp2.lower().b == lp.lower().b
+
+    def test_file_round_trip_and_solve(self, tmp_path):
+        path = str(tmp_path / "model.json")
+        save_prog(path, sample_prog())
+        lp = load_prog(path)
+        sol = lp.solve()
+        assert sol.status == "optimal"
+
+    def test_milp_round_trip(self):
+        lp = LinProg()
+        lp.addVar("n", integral=True, lb=0, ub=5)
+        lp.maximize(LinExpr(1, "n"))
+        lp.addConstraint(LinExpr(2, "n").constraintLeq(7))
+        lp2 = prog_from_json(prog_to_json(lp))
+        assert lp2.vars["n"].isint
+        sol = lp2.solve()
+        assert sol.objective == 3
+
+
+def run_cli(args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", "tpulp", *args],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ,
+             "JAX_PLATFORMS": "cpu"},
+        **kw)
+
+
+@pytest.mark.slow
+class TestCli:
+    def test_solve_model(self, tmp_path):
+        path = str(tmp_path / "m.json")
+        save_prog(path, sample_prog())
+        res = run_cli(["solve", path, "--exact"])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        assert out["status"] == "optimal"
+        # x1 = 23/4, x2 = 9/2 (its upper bound), free = 0 -> 365
+        assert out["objective"] == "365"
+
+    def test_solve_tableau_and_render(self, tmp_path):
+        from tpulp.io import parse_grid
+
+        tab = parse_grid(
+            "x1 x2 s1 s2 | z\n-40 -30 0 0 | 0\n1 1 1 0 | 12\n2 1 0 1 | 16")
+        path = str(tmp_path / "t.json")
+        tab.saveFile(path)
+        res = run_cli(["solve-tableau", path])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        assert out["status"] == "optimal"
+        assert out["objective"] == "-400"
+        res2 = run_cli(["render", path, "--format", "latex"])
+        assert res2.returncode == 0
+        assert "tabular" in res2.stdout

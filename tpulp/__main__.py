@@ -1,0 +1,160 @@
+"""Command-line interface: solve and render LP/MILP problems.
+
+    python -m tpulp solve model.json [--exact] [--rule dantzig|bland]
+    python -m tpulp solve-tableau tableau.json [--device]
+    python -m tpulp render tableau.json [--format text|latex|csv|grid]
+
+``model.json`` uses the tpulp model schema (tpulp.model.serialize);
+``tableau.json`` uses the reference-compatible tableau schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cmd_solve(args) -> int:
+    from .model.serialize import load_prog
+
+    prog = load_prog(args.file)
+    if args.exact and not prog.isMixedInteger():
+        from .simplex import Simplex
+        from .tableau import Tableau
+
+        sf = prog.lower()
+        tab = Tableau.fromArrays(sf.c, sf.A, sf.b, names=sf.col_names)
+        sx = Simplex(tab, on_infeasible="status")
+        if sx.getStatus() is not None:
+            print(json.dumps({"status": "infeasible"}))
+            return 0
+        status = sx.solve(rule=args.rule)
+        from fractions import Fraction
+
+        xc = [sx.getBFS().get(j, Fraction(0)) for j in range(sf.n)]
+        out = {
+            "status": status.value,
+            "objective": str(sf.objective_value(xc)),
+            "x": {k: str(v) for k, v in sf.recover_solution(xc).items()},
+            "pivots": sx.num_pivots,
+        }
+        print(json.dumps(out))
+        return 0
+
+    sol = prog.solve()
+    out = {"status": sol.status}
+    if sol.is_optimal:
+        out["objective"] = str(sol.objective)
+        out["x"] = {k: str(v) for k, v in (sol.x or {}).items()}
+        out["iterations"] = sol.niter
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_solve_tableau(args) -> int:
+    from .tableau import Tableau
+
+    tab = Tableau(1, 1)
+    tab.loadFile(args.file)
+    if args.device:
+        import numpy as np
+
+        from .core import make_state
+        from .solve import run_simplex, extract_solution
+
+        hints = [-1] * tab.getNumCons()
+        tab2 = tab.copy()
+        # sign-normalize for the device path (expects b >= 0)
+        for i in range(tab2.getNumCons()):
+            if tab2.getBi(i) < 0:
+                tab2.rowMult(i, -1)
+        bcols = []
+        tab2.isCanonical(bcols)
+        hints = bcols
+        state = make_state(
+            [float(v) for v in tab2.getC()],
+            [[float(v) for v in row] for row in tab2.getA()],
+            [float(v) for v in tab2.getB()],
+            hints,
+        )
+        out_state = run_simplex(state)
+        from .core.state import Status
+
+        x, z = extract_solution(out_state)
+        # make_state drops the tableau's initial corner: add the initial z
+        # offset back to report the absolute objective
+        print(json.dumps({
+            "status": Status.NAMES.get(int(out_state.status), "unknown"),
+            "objective": float(z) + float(tab2.getZ()),
+            "iterations": int(out_state.niter),
+        }))
+        return 0
+
+    from .simplex import Simplex
+
+    sx = Simplex(tab, on_infeasible="status")
+    if sx.getStatus() is not None:
+        print(json.dumps({"status": "infeasible"}))
+        return 0
+    status = sx.solve(rule=args.rule)
+    print(json.dumps({
+        "status": status.value,
+        "objective": str(sx.getObjValue()),
+        "bfs": {k: str(v) for k, v in sx.getBFSNames().items()},
+        "pivots": sx.num_pivots,
+    }))
+    return 0
+
+
+def _cmd_render(args) -> int:
+    from .tableau import Tableau
+
+    tab = Tableau(1, 1)
+    tab.loadFile(args.file)
+    if args.format == "text":
+        print(tab.printText())
+    elif args.format == "latex":
+        print(tab.printLatex())
+    elif args.format == "csv":
+        print(tab.printCSV(), end="")
+    else:
+        from .io.grid import format_grid
+
+        print(format_grid(tab))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tpulp")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("solve", help="solve a model-schema LP/MILP json")
+    p1.add_argument("file")
+    p1.add_argument("--exact", action="store_true",
+                    help="use the exact-rational host simplex (LP only)")
+    p1.add_argument("--rule", default="dantzig",
+                    choices=["dantzig", "bland", "max_increase"])
+    p1.set_defaults(fn=_cmd_solve)
+
+    p2 = sub.add_parser("solve-tableau",
+                        help="solve a reference-schema tableau json")
+    p2.add_argument("file")
+    p2.add_argument("--device", action="store_true",
+                    help="solve on the JAX device path instead of exactly")
+    p2.add_argument("--rule", default="dantzig",
+                    choices=["dantzig", "bland", "max_increase"])
+    p2.set_defaults(fn=_cmd_solve_tableau)
+
+    p3 = sub.add_parser("render", help="pretty-print a tableau json")
+    p3.add_argument("file")
+    p3.add_argument("--format", default="text",
+                    choices=["text", "latex", "csv", "grid"])
+    p3.set_defaults(fn=_cmd_render)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
