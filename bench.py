@@ -12,10 +12,17 @@ fixed pivot budget.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: the blocked driver's remote compile takes
+# minutes; cached executables make repeat bench runs start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def make_bench_state(m, n_struct, dtype, seed=0):
@@ -109,11 +116,53 @@ def run_bench(m=4096, n_struct=4096, pivots=300, dtype_name="float32",
     return rate, n_big
 
 
+def run_bench_batch(batch=1024, m=64, n_struct=64, dtype_name="float32",
+                    seed=0, verbose=False, max_iters=500):
+    """Batched mode (BASELINE config 3): vmap-solve ``batch`` independent
+    random dense LPs in one device call; reports aggregate pivots/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpulp.batch import run_simplex_batch, stack_states
+    from tpulp.core import SolverOptions
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
+    states = [
+        make_bench_state(m, n_struct, dtype, seed=seed + i)
+        for i in range(batch)
+    ]
+    batched = stack_states(states)
+    _ = float(batched.T[0, 0, 0])
+    opts = SolverOptions.for_dtype(dtype, max_iters=max_iters)
+
+    def run(s, o):
+        return run_simplex_batch(s, o)
+
+    # compile
+    out = run(batched, opts)
+    _ = int(out.niter[0])
+    t0 = time.time()
+    out = run(batched, opts)
+    total_piv = int(np.asarray(out.niter).sum())  # host read = barrier
+    dt = time.time() - t0
+    optimal = int((np.asarray(out.status) == 1).sum())
+    if verbose:
+        print(
+            f"# batch {batch}x({m}x{m + n_struct}) {dtype_name}: {dt:.3f}s, "
+            f"{total_piv} pivots, {optimal}/{batch} optimal, "
+            f"{total_piv / dt:.0f} pivots/s, {batch / dt:.0f} LPs/s",
+            file=sys.stderr,
+        )
+    return total_piv / dt, batch / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="single", choices=["single", "batch"])
     ap.add_argument("--m", type=int, default=4096)
     ap.add_argument("--n", type=int, default=4096,
                     help="dense structural columns (tableau width = m + n)")
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--pivots", type=int, default=300)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
@@ -128,10 +177,23 @@ def main():
     if not args.skip_parity:
         parity_check()
 
+    target = 1e4
+    if args.mode == "batch":
+        rate, lps = run_bench_batch(
+            batch=args.batch, m=min(args.m, 64), n_struct=min(args.n, 64),
+            dtype_name=args.dtype, verbose=args.verbose)
+        print(json.dumps({
+            "metric": f"batched simplex, {args.batch} independent LPs "
+                      f"({args.dtype}), 1 chip",
+            "value": round(rate, 1),
+            "unit": "pivots/s",
+            "vs_baseline": round(rate / target, 4),
+        }))
+        return
+
     rate, _ = run_bench(m=args.m, n_struct=args.n, pivots=args.pivots,
                         dtype_name=args.dtype, verbose=args.verbose,
                         driver=args.driver, block=args.block)
-    target = 1e4
     print(json.dumps({
         "metric": f"simplex pivot throughput, {args.m}x{args.m + args.n} "
                   f"dense {args.dtype} tableau, 1 chip",
