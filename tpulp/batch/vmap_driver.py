@@ -97,7 +97,7 @@ def make_batched_states(
 @functools.lru_cache(maxsize=32)
 def _batched_driver(opts: SolverOptions, stall_limit: int):
     single = _compiled_driver.__wrapped__(opts, stall_limit)
-    return jax.jit(jax.vmap(single))
+    return jax.jit(jax.vmap(single, in_axes=(0, None)))
 
 
 def run_simplex_batch(
@@ -107,10 +107,12 @@ def run_simplex_batch(
     """Run the vmapped driver to termination of every lane."""
     if opts is None:
         opts = SolverOptions.for_dtype(batched.T.dtype)
+    from ..solve.driver import _budget_key
     m = batched.T.shape[1] - 2
     n = batched.T.shape[2] - 1
     stall_limit = opts.resolved_stall_limit(m, n)
-    return _batched_driver(opts, stall_limit)(batched)
+    driver = _batched_driver(_budget_key(opts), stall_limit)
+    return driver(batched, jnp.asarray(opts.max_iters, jnp.int32))
 
 
 def solve_lp_batch(

@@ -118,11 +118,17 @@ def run_simplex_gspmd(
     inserted by XLA. ``state`` should come from ``shard_state``."""
     if opts is None:
         opts = SolverOptions.for_dtype(state.T.dtype)
+    from ..solve.driver import _budget_key
+
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
-    driver = _compiled_driver.__wrapped__(opts, stall_limit)
+    driver = _compiled_driver.__wrapped__(_budget_key(opts), stall_limit)
     shardings = state_sharding(mesh, axis)
-    fn = jax.jit(driver, in_shardings=(shardings,), out_shardings=shardings)
-    return fn(state)
+    fn = jax.jit(
+        driver,
+        in_shardings=(shardings, NamedSharding(mesh, P())),
+        out_shardings=shardings,
+    )
+    return fn(state, jnp.asarray(opts.max_iters, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -387,9 +393,9 @@ def _sharded_driver(opts: SolverOptions, stall_limit: int, n_global: int,
         last_z=P(),
     )
 
-    def solve_local(s: ShardedState) -> ShardedState:
+    def solve_local(s: ShardedState, max_iters) -> ShardedState:
         def cond(st):
-            return (st.status == Status.RUNNING) & (st.niter < opts.max_iters)
+            return (st.status == Status.RUNNING) & (st.niter < max_iters)
 
         def body(st):
             return _sharded_step(st, opts, stall_limit, n_global, axis)
@@ -400,7 +406,7 @@ def _sharded_driver(opts: SolverOptions, stall_limit: int, n_global: int,
             jnp.int32(Status.ITERATION_LIMIT), out.status))
 
     return jax.jit(shard_map(
-        solve_local, mesh=mesh, in_specs=(specs,), out_specs=specs,
+        solve_local, mesh=mesh, in_specs=(specs, P()), out_specs=specs,
         check_vma=False))
 
 
@@ -416,5 +422,8 @@ def run_simplex_sharded(
     m = sh.basis.shape[0]
     n_global = sh.T.shape[1]
     stall_limit = opts.resolved_stall_limit(m, n_global)
-    driver = _sharded_driver(opts, stall_limit, n_global, axis, mesh)
-    return driver(sh)
+    from ..solve.driver import _budget_key
+
+    driver = _sharded_driver(_budget_key(opts), stall_limit, n_global, axis,
+                             mesh)
+    return driver(sh, jnp.asarray(opts.max_iters, jnp.int32))

@@ -57,7 +57,7 @@ class _BlockCarry(NamedTuple):
 
 
 def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
-                   stall_limit: int) -> _BlockCarry:
+                   stall_limit: int, max_iters) -> _BlockCarry:
     s = carry.s
     dtype = s.T.dtype
     n = s.n
@@ -125,7 +125,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     # ---- the one (possibly zero) eta pivot --------------------------------
     do_cleanup = cleanup & has_elig
     do_pricing = pricing_pivot & has_ratio
-    act = (do_cleanup | do_pricing) & (s.niter < opts.max_iters)
+    act = (do_cleanup | do_pricing) & (s.niter < max_iters)
     actf = act.astype(dtype)
     r = jnp.where(do_cleanup, r_d, r_price)
     rg = r + 2
@@ -193,7 +193,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
 @functools.lru_cache(maxsize=32)
 def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
     @jax.jit
-    def driver(state: SimplexState) -> SimplexState:
+    def driver(state: SimplexState, max_iters: jax.Array) -> SimplexState:
         M = state.T.shape[0]
         N = state.T.shape[1]
         dtype = state.T.dtype
@@ -211,12 +211,13 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
 
         def outer_cond(carry):
             s = carry.s
-            return (s.status == Status.RUNNING) & (s.niter < opts.max_iters)
+            return (s.status == Status.RUNNING) & (s.niter < max_iters)
 
         def outer_body(carry):
             # K uniform eta pivots, tableau untouched
             carry = lax.fori_loop(
-                0, K, lambda _, c: _blocked_pivot(c, opts, stall_limit),
+                0, K,
+                lambda _, c: _blocked_pivot(c, opts, stall_limit, max_iters),
                 carry)
             # ONE rank-K MXU flush: T += U^T V (einsum contracts the leading
             # eta axis of both factors without materializing a transpose)
@@ -241,4 +242,7 @@ def run_simplex_blocked(
     if opts is None:
         opts = SolverOptions.for_dtype(state.T.dtype)
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
-    return _compiled_blocked_driver(opts, stall_limit, block)(state)
+    from .driver import _budget_key
+
+    driver = _compiled_blocked_driver(_budget_key(opts), stall_limit, block)
+    return driver(state, jnp.asarray(opts.max_iters, jnp.int32))

@@ -255,10 +255,16 @@ def simplex_step(state: SimplexState, opts: SolverOptions,
 
 @functools.lru_cache(maxsize=64)
 def _compiled_driver(opts: SolverOptions, stall_limit: int):
+    """Compiled driver keyed on everything EXCEPT the pivot budget:
+    ``max_iters`` is a traced operand, so changing the budget (the common
+    case for benchmarking and incremental solving) reuses the executable —
+    remote compiles cost minutes on the tunneled TPU. Callers pass
+    ``_budget_key(opts)`` so the cache key is budget-independent."""
+
     @jax.jit
-    def driver(state: SimplexState) -> SimplexState:
+    def driver(state: SimplexState, max_iters: jax.Array) -> SimplexState:
         def cond(s):
-            return (s.status == Status.RUNNING) & (s.niter < opts.max_iters)
+            return (s.status == Status.RUNNING) & (s.niter < max_iters)
 
         def body(s):
             # simplex_step is internally frozen for terminal lanes (its
@@ -275,13 +281,21 @@ def _compiled_driver(opts: SolverOptions, stall_limit: int):
     return driver
 
 
+def _budget_key(opts: SolverOptions) -> SolverOptions:
+    """Normalize away the traced pivot budget for executable caching."""
+    import dataclasses
+
+    return dataclasses.replace(opts, max_iters=0)
+
+
 def run_simplex(state: SimplexState, opts: SolverOptions | None = None
                 ) -> SimplexState:
     """Run the jitted driver to termination (single problem)."""
     if opts is None:
         opts = SolverOptions.for_dtype(state.T.dtype)
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
-    return _compiled_driver(opts, stall_limit)(state)
+    driver = _compiled_driver(_budget_key(opts), stall_limit)
+    return driver(state, jnp.asarray(opts.max_iters, jnp.int32))
 
 
 def extract_solution(state: SimplexState):
