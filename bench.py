@@ -79,9 +79,12 @@ def run_bench(m=4096, n_struct=4096, pivots=300, dtype_name="float32",
 
     from tpulp.core import SolverOptions
     from tpulp.solve import run_simplex, run_simplex_blocked
+    from tpulp.solve.blocked_pallas import run_simplex_blocked_pallas
 
     if driver == "blocked":
         run = lambda s, o: run_simplex_blocked(s, o, block=block)  # noqa: E731
+    elif driver == "pallas":
+        run = lambda s, o: run_simplex_blocked_pallas(s, o, block=block)  # noqa: E731
     else:
         run = run_simplex
 
@@ -167,7 +170,7 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
     ap.add_argument("--driver", default="blocked",
-                    choices=["blocked", "rank1"])
+                    choices=["blocked", "pallas", "rank1"])
     ap.add_argument("--block", type=int, default=128,
                     help="rank-K block size for the blocked driver")
     ap.add_argument("--skip-parity", action="store_true")

@@ -6,18 +6,24 @@ XLA op-dispatch overhead for ~15 small ops per pivot. This kernel runs all K
 pivots of a block in ONE Pallas program:
 
 * U and V live in VMEM for the whole block (6.3MB at K=128 / 4096x8192 f32),
-* per pivot the only HBM traffic is two DMAs: one row of the transposed
-  tableau Tt (= the entering COLUMN of T, contiguous) and one row of T (the
-  pivot row), ~48KB total,
+* per pivot the only HBM traffic is two 8-row window DMAs: one window of the
+  transposed tableau Tt containing the entering COLUMN of T, and one window
+  of T containing the pivot row (~400KB total; Mosaic requires dynamic HBM
+  slices to be 8-row tile aligned, so single rows cannot be DMA'd directly),
 * pricing, ratio test, eta construction, and the running objective/RHS
   vector updates are VPU ops over VMEM-resident data.
 
-The caller (tpulp.solve.blocked_pallas) maintains T and its transpose Tt in
-HBM and flushes ``T += U^T V`` / ``Tt += V^T U`` once per block with two MXU
-matmuls. Decision logic replicates tpulp.solve.blocked._blocked_pivot
-EXACTLY (Dantzig/Bland pricing, first-index tie-breaking via min-of-masked-
-iota, basic-index Bland row rule, stall detection, in-block phase transition
-and artificial cleanup) so the Pallas and jnp paths walk identical pivot
+The caller (tpulp.solve.blocked_pallas) zero-pads T to 8-aligned shape
+(M8, N8) so every aligned window stays in bounds, maintains T and its
+transpose Tt in HBM, and flushes ``T += U^T V`` / ``Tt += V^T U`` once per
+block with two MXU matmuls. Padding invariants: pad rows/cols of T are zero
+and stay zero (etas are zero there), the col-active mask is zero at the RHS
+column and all pads, so padded entries never win pricing or the ratio test.
+
+Decision logic replicates tpulp.solve.blocked._blocked_pivot EXACTLY
+(Dantzig/Bland pricing, first-index tie-breaking via min-of-masked-iota,
+basic-index Bland row rule, stall detection, in-block phase transition and
+artificial cleanup) so the Pallas and jnp paths walk identical pivot
 sequences — pinned by tests in interpret mode.
 
 Scalar state is packed into two small vectors:
@@ -40,6 +46,7 @@ from ..core.state import RULE_BLAND, SolverOptions, Status
 __all__ = ["blocked_inner_block"]
 
 BIG_I = 2**30  # python int: jnp constants captured by kernels are rejected
+ROWW = 8       # HBM window height = the sublane tile size
 
 
 def _first_true_index(mask_2d, n, big=BIG_I):
@@ -54,240 +61,290 @@ def _argmin_first(vals_2d):
     return _first_true_index(vals_2d <= v, vals_2d.shape[1]), v
 
 
-def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M: int,
-                 N: int, m: int, dtype):
+def _select_row(win, off, dtype):
+    """Pick row ``off`` of an (8, n) window as a (1, n) vector."""
+    oh = (lax.broadcasted_iota(jnp.int32, win.shape, 0) == off).astype(dtype)
+    return jnp.sum(win * oh, axis=0, keepdims=True)
+
+
+def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
+                 N8: int, Nr: int, m: int, dtype):
+    """M8/N8: padded tableau shape; Nr: real column count (RHS at Nr-1);
+    m: real constraint-row count (rows 2..m+1 of T are constraints)."""
     inf = float("inf")  # python float: avoids captured-constant rejection
     use_bland_static = opts.rule == RULE_BLAND
+    m8 = M8 - 2
 
     def kernel(T_hbm, Tt_hbm,
                row0_in, row1_in, bvec_in, ca_in, ac_in, basis_in, ab_in,
                iscal_in, fscal_in,
                U, V,
                row0, row1, bvec, ca, ac, basis, ab, iscal, fscal,
-               colj_s, vrow_s, rowd_s, sem_c, sem_r, sem_d):
-        # the vector/scalar outputs are ALIASED to the inputs (same buffers,
-        # already initialized); all reads and writes go through the output
-        # refs. U/V are fresh outputs that persist in VMEM across the block.
-        del row0_in, row1_in, bvec_in, ca_in, ac_in, basis_in, ab_in
-        del iscal_in, fscal_in
-        U[...] = jnp.zeros((K, M), dtype)
-        V[...] = jnp.zeros((K, N), dtype)
+               colj_s, vrow_s, rowd_s, rowdv_s, sem_c, sem_r, sem_d):
+        # Inputs are copied into the outputs up front and all further reads
+        # and writes go through the output refs. (input_output_aliases is NOT
+        # used: aliased SMEM outputs read garbage on the axon TPU backend —
+        # verified empirically — so the copies are explicit; they are tiny
+        # next to a K-pivot block.) U/V are fresh outputs that persist in
+        # VMEM across the block.
+        row0[...] = row0_in[...]
+        row1[...] = row1_in[...]
+        bvec[...] = bvec_in[...]
+        ca[...] = ca_in[...]
+        ac[...] = ac_in[...]
+        basis[...] = basis_in[...]
+        ab[...] = ab_in[...]
+        for _i in range(8):
+            iscal[_i] = iscal_in[_i]
+        for _i in range(2):
+            fscal[_i] = fscal_in[_i]
+        U[...] = jnp.zeros((K, M8), dtype)
+        V[...] = jnp.zeros((K, N8), dtype)
 
-        col_ids = lax.broadcasted_iota(jnp.int32, (1, N - 1), 1)
+        def body(_, carry):
+            # scalar state lives in SMEM (iscal/fscal); once the solver
+            # terminates, the whole iteration is skipped — no DMAs, no U/V
+            # traffic for the rest of the block.
+            running = iscal[1] == Status.RUNNING
 
-        def body(_, scal):
-            phase, status, niter, stuck, bland, t, last_z = scal
-            running = status == Status.RUNNING
-            in_phase2 = phase == 2
-
-            # ---- cleanup scan (basic artificials, maintained mask) --------
-            ab_v = ab[...]                         # (1, m) int32
-            any_art = jnp.max(ab_v) > 0
-            cleanup = any_art & in_phase2 & running
-            r_d = _first_true_index(ab_v > 0, m)
-            r_d = jnp.minimum(r_d, m - 1)
-            rg_d = r_d + 2
-
-            # reconstruct the cleanup row when needed: DMA T row + eta corr
-            @pl.when(cleanup)
+            @pl.when(running)
             def _():
-                cp = pltpu.make_async_copy(
-                    T_hbm.at[pl.ds(rg_d, 1), :], rowd_s, sem_d)
+                phase = iscal[0]
+                stuck = iscal[3]
+                bland = iscal[4]
+                t = iscal[5]
+                last_z = fscal[0]
+                in_phase2 = phase == 2
+
+                # ---- cleanup scan (basic artificials, maintained mask) ----
+                ab_v = ab[...]                     # (1, m8) int32; pads 0
+                any_art = jnp.max(ab_v) > 0
+                cleanup = any_art & in_phase2
+                r_d = _first_true_index(ab_v > 0, m8)
+                r_d = jnp.minimum(r_d, m - 1)
+                rg_d = r_d + 2
+                base_d = (rg_d // ROWW) * ROWW
+
+                # reconstruct the cleanup row only when needed (its full U/V
+                # pass is ~1/3 of per-pivot VMEM traffic); DMA overlaps the
+                # eta-correction compute
+                @pl.when(cleanup)
+                def _():
+                    cp = pltpu.make_async_copy(
+                        T_hbm.at[pl.ds(base_d, ROWW), :], rowd_s, sem_d)
+                    cp.start()
+                    onehot_rd = (lax.broadcasted_iota(jnp.int32, (K, M8), 1)
+                                 == rg_d).astype(dtype)
+                    u_rd = jnp.sum(U[...] * onehot_rd, axis=1, keepdims=True)
+                    corr = jnp.sum(u_rd * V[...], axis=0, keepdims=True)
+                    cp.wait()
+                    rowdv_s[...] = _select_row(rowd_s[...], rg_d - base_d,
+                                               dtype) + corr
+
+                @pl.when(~cleanup)
+                def _():
+                    rowdv_s[...] = jnp.zeros((1, N8), dtype)
+
+                row_d = rowdv_s[...]
+
+                ca_v = ca[...] > 0                 # (1, N8); RHS+pads are 0
+                ac_v = ac[...] > 0
+                elig = ca_v & ~ac_v & (jnp.abs(row_d) > opts.piv_tol)
+                j_d = _first_true_index(elig, N8)
+                has_elig = j_d < BIG_I
+                j_d = jnp.minimum(j_d, Nr - 2)
+                retire = cleanup & ~has_elig
+
+                # ---- pricing ----------------------------------------------
+                crow = jnp.where(phase == 1, row1[...], row0[...])  # (1, N8)
+                c_eff = jnp.where(ca_v, crow, inf)
+                improving = c_eff < -opts.opt_tol
+                has_improving = jnp.any(improving)
+                use_bland = (bland > 0) | use_bland_static
+                j_dz, _cmin = _argmin_first(c_eff)
+                j_bl = jnp.minimum(_first_true_index(improving, N8), Nr - 2)
+                j_price = jnp.where(use_bland, j_bl, j_dz)
+
+                # ---- phase bookkeeping ------------------------------------
+                z1 = -row1[0, Nr - 1]
+                phase1_done = (phase == 1) & ~has_improving
+                became_infeasible = phase1_done & (z1 > opts.infeas_tol)
+                to_phase2 = phase1_done & ~became_infeasible
+                pricing_pivot = has_improving & ~cleanup & ~phase1_done
+
+                # ---- entering column: window DMA of Tt, overlapped with the
+                # eta-correction compute (both only need U/V) ----------------
+                j = jnp.where(cleanup, j_d, j_price)
+                base_j = (j // ROWW) * ROWW
+                cp = pltpu.make_async_copy(Tt_hbm.at[pl.ds(base_j, ROWW), :],
+                                           colj_s, sem_c)
                 cp.start()
+                onehot_j = (lax.broadcasted_iota(jnp.int32, (K, N8), 1)
+                            == j).astype(dtype)
+                v_j = jnp.sum(V[...] * onehot_j, axis=1,
+                              keepdims=True)       # (K, 1)
+                corr_c = jnp.sum(v_j * U[...], axis=0,
+                                 keepdims=True)    # (1, M8)
                 cp.wait()
-                onehot_rd = (lax.broadcasted_iota(jnp.int32, (K, M), 1)
-                             == rg_d).astype(dtype)
-                u_rd = jnp.sum(U[...] * onehot_rd, axis=1, keepdims=True)
-                rowd_s[...] = rowd_s[...] + jnp.sum(
-                    u_rd * V[...], axis=0, keepdims=True)
+                colj = _select_row(colj_s[...], j - base_j, dtype) + corr_c
 
-            row_d = jnp.where(cleanup, rowd_s[...], jnp.zeros((1, N), dtype))
-            ca_v = ca[...] > 0                     # (1, N-1)? stored (1, N-1)
-            ac_v = ac[...] > 0
-            elig = ca_v & ~ac_v & (jnp.abs(row_d[:, :-1]) > opts.piv_tol)
-            j_d = _first_true_index(elig, N - 1)
-            has_elig = j_d < BIG_I
-            j_d = jnp.minimum(j_d, N - 2)
-            retire = cleanup & ~has_elig
+                # ---- ratio test --------------------------------------------
+                col = colj[:, 2:]                  # (1, m8); pads are 0
+                b = bvec[:, 2:]
+                pos = col > opts.piv_tol
+                has_ratio = jnp.any(pos)
+                ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), inf)
+                min_ratio = jnp.min(ratios)
+                tie = ratios <= min_ratio
+                r_first = _first_true_index(tie, m8)
+                basis_v = basis[...]               # (1, m8); pads BIG
+                r_bland_key = jnp.where(tie, basis_v, BIG_I)
+                bmin = jnp.min(r_bland_key)
+                r_bland = _first_true_index(r_bland_key <= bmin, m8)
+                r_price = jnp.where(use_bland, r_bland, r_first)
+                r_price = jnp.minimum(r_price, m - 1)
 
-            # ---- pricing --------------------------------------------------
-            crow = jnp.where(phase == 1, row1[:, :-1], row0[:, :-1])
-            c_eff = jnp.where(ca_v, crow, inf)
-            improving = c_eff < -opts.opt_tol
-            has_improving = jnp.any(improving)
-            use_bland = (bland > 0) | use_bland_static
-            j_dz, _cmin = _argmin_first(c_eff)
-            j_bl = jnp.minimum(_first_true_index(improving, N - 1), N - 2)
-            j_price = jnp.where(use_bland, j_bl, j_dz)
+                became_unbounded = pricing_pivot & ~has_ratio & in_phase2
+                became_failed1 = pricing_pivot & ~has_ratio & ~in_phase2
 
-            # ---- phase bookkeeping ---------------------------------------
-            z1 = -row1[0, N - 1]
-            phase1_done = (phase == 1) & ~has_improving & running
-            became_infeasible = phase1_done & (z1 > opts.infeas_tol)
-            to_phase2 = phase1_done & ~became_infeasible
-            pricing_pivot = has_improving & ~cleanup & ~phase1_done & running
+                # ---- the eta pivot -----------------------------------------
+                do_cleanup = cleanup & has_elig
+                do_pricing = pricing_pivot & has_ratio
+                act = do_cleanup | do_pricing
+                actf = act.astype(dtype)
+                r = jnp.where(do_cleanup, r_d, r_price)
+                rg = r + 2
+                onehot_rg_M = (lax.broadcasted_iota(jnp.int32, (1, M8), 1)
+                               == rg)
+                piv = jnp.sum(jnp.where(onehot_rg_M, colj, 0.0))
+                safe_piv = jnp.where(act, piv, 1.0)
+                w = (onehot_rg_M.astype(dtype) - colj) / safe_piv * actf
 
-            # ---- entering column: DMA Tt row j + eta corrections ----------
-            j = jnp.where(cleanup, j_d, j_price)
-            cp = pltpu.make_async_copy(Tt_hbm.at[pl.ds(j, 1), :], colj_s,
-                                       sem_c)
-            cp.start()
-            cp.wait()
-            onehot_j = (lax.broadcasted_iota(jnp.int32, (K, N), 1)
-                        == j).astype(dtype)
-            v_j = jnp.sum(V[...] * onehot_j, axis=1, keepdims=True)  # (K, 1)
-            colj = colj_s[...] + jnp.sum(v_j * U[...], axis=0,
-                                         keepdims=True)              # (1, M)
+                # pivot row: window DMA of T, again overlapped with the
+                # eta-correction compute
+                base_rg = (rg // ROWW) * ROWW
+                cp2 = pltpu.make_async_copy(
+                    T_hbm.at[pl.ds(base_rg, ROWW), :], vrow_s, sem_r)
+                cp2.start()
+                onehot_rg_KM = (lax.broadcasted_iota(jnp.int32, (K, M8), 1)
+                                == rg)
+                u_rg = jnp.sum(U[...] * onehot_rg_KM.astype(dtype), axis=1,
+                               keepdims=True)      # (K, 1)
+                corr_r = jnp.sum(u_rg * V[...], axis=0, keepdims=True)
+                cp2.wait()
+                vrow_price = _select_row(vrow_s[...], rg - base_rg,
+                                         dtype) + corr_r
+                vrow = jnp.where(do_cleanup, row_d, vrow_price) * actf
 
-            # ---- ratio test ----------------------------------------------
-            col = colj[:, 2:]                      # (1, m)
-            b = bvec[:, 2:]
-            pos = col > opts.piv_tol
-            has_ratio = jnp.any(pos)
-            ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), inf)
-            min_ratio = jnp.min(ratios)
-            tie = ratios <= min_ratio
-            r_first = _first_true_index(tie, m)
-            basis_v = basis[...]                   # (1, m)
-            r_bland_key = jnp.where(tie, basis_v, BIG_I)
-            bmin = jnp.min(r_bland_key)
-            r_bland = _first_true_index(r_bland_key <= bmin, m)
-            r_price = jnp.where(use_bland, r_bland, r_first)
-            r_price = jnp.minimum(r_price, m - 1)
+                # append eta pair at slot t (row writes)
+                U[pl.ds(t, 1), :] = w
+                V[pl.ds(t, 1), :] = vrow
 
-            became_unbounded = pricing_pivot & ~has_ratio & in_phase2
-            became_failed1 = pricing_pivot & ~has_ratio & ~in_phase2
+                # ---- running vectors ---------------------------------------
+                w0 = jnp.sum(jnp.where(
+                    lax.broadcasted_iota(jnp.int32, (1, M8), 1) == 0, w, 0.0))
+                w1 = jnp.sum(jnp.where(
+                    lax.broadcasted_iota(jnp.int32, (1, M8), 1) == 1, w, 0.0))
+                row0[...] = row0[...] + w0 * vrow
+                row1[...] = row1[...] + w1 * vrow
+                v_last = jnp.sum(jnp.where(
+                    lax.broadcasted_iota(jnp.int32, (1, N8), 1) == Nr - 1,
+                    vrow, 0.0))
+                bvec[...] = bvec[...] + w.reshape(1, M8) * v_last
 
-            # ---- the eta pivot -------------------------------------------
-            do_cleanup = cleanup & has_elig
-            do_pricing = pricing_pivot & has_ratio
-            act = do_cleanup | do_pricing
-            actf = act.astype(dtype)
-            r = jnp.where(do_cleanup, r_d, r_price)
-            rg = r + 2
-            onehot_rg_M = (lax.broadcasted_iota(jnp.int32, (1, M), 1) == rg)
-            piv = jnp.sum(jnp.where(onehot_rg_M, colj, 0.0))
-            safe_piv = jnp.where(act, piv, 1.0)
-            w = (onehot_rg_M.astype(dtype) - colj) / safe_piv * actf  # (1, M)
+                # basis / artificial-basic maintenance (only when acting)
+                is_r_row = (lax.broadcasted_iota(jnp.int32, (1, m8), 1) == r)
+                basis[...] = jnp.where(act & is_r_row, j, basis_v)
+                onehot_jn = (lax.broadcasted_iota(jnp.int32, (1, N8), 1) == j)
+                j_is_art = jnp.any(onehot_jn & ac_v)
+                ab[...] = jnp.where(act & is_r_row,
+                                    j_is_art.astype(jnp.int32), ab_v)
+                # retire a dependent row's artificial flag + mask its column
+                @pl.when(retire)
+                def _():
+                    is_rd_row = (lax.broadcasted_iota(jnp.int32, (1, m8), 1)
+                                 == r_d)
+                    ab[...] = jnp.where(is_rd_row, 0, ab[...])
 
-            # pivot row: DMA T row rg + eta corrections (reuse for cleanup)
-            cp2 = pltpu.make_async_copy(T_hbm.at[pl.ds(rg, 1), :], vrow_s,
-                                        sem_r)
-            cp2.start()
-            cp2.wait()
-            onehot_rg_KM = (lax.broadcasted_iota(jnp.int32, (K, M), 1) == rg)
-            u_rg = jnp.sum(U[...] * onehot_rg_KM.astype(dtype), axis=1,
-                           keepdims=True)          # (K, 1)
-            vrow_price = vrow_s[...] + jnp.sum(u_rg * V[...], axis=0,
-                                               keepdims=True)
-            vrow = jnp.where(do_cleanup, row_d, vrow_price) * actf   # (1, N)
+                # ---- stall / Bland switch ----------------------------------
+                z = jnp.where(phase == 1, -row1[0, Nr - 1], -row0[0, Nr - 1])
+                improved = (last_z - z) > opts.degen_tol
+                stuck = jnp.where(
+                    do_pricing & act,
+                    jnp.where(improved, 0, stuck + 1),
+                    stuck).astype(jnp.int32)
+                last_z = jnp.where(do_pricing & act, z, last_z)
+                bland = (bland > 0) | (stuck >= stall_limit)
 
-            # append eta pair at slot t (row writes)
-            U[pl.ds(t, 1), :] = w
-            V[pl.ds(t, 1), :] = vrow
+                # ---- phase transition + termination ------------------------
+                phase = jnp.where(to_phase2, 2, phase).astype(jnp.int32)
 
-            # ---- running vectors -----------------------------------------
-            w0 = jnp.sum(jnp.where(
-                lax.broadcasted_iota(jnp.int32, (1, M), 1) == 0, w, 0.0))
-            w1 = jnp.sum(jnp.where(
-                lax.broadcasted_iota(jnp.int32, (1, M), 1) == 1, w, 0.0))
-            row0[...] = row0[...] + w0 * vrow
-            row1[...] = row1[...] + w1 * vrow
-            v_last = jnp.sum(jnp.where(
-                lax.broadcasted_iota(jnp.int32, (1, N), 1) == N - 1,
-                vrow, 0.0))
-            bvec[...] = bvec[...] + w.reshape(1, M) * v_last
+                @pl.when(to_phase2)
+                def _():
+                    ca[...] = jnp.where(ac[...] > 0, 0, ca[...])
 
-            # basis / artificial-basic maintenance (only when acting)
-            is_r_row = (lax.broadcasted_iota(jnp.int32, (1, m), 1) == r)
-            basis[...] = jnp.where(act & is_r_row, j, basis_v)
-            onehot_jn = (lax.broadcasted_iota(jnp.int32, (1, N - 1), 1) == j)
-            j_is_art = jnp.any(onehot_jn & ac_v)
-            ab[...] = jnp.where(act & is_r_row,
-                                j_is_art.astype(jnp.int32), ab_v)
-            # retire a dependent row's artificial flag + mask its column
-            @pl.when(retire)
-            def _():
-                is_rd_row = (lax.broadcasted_iota(jnp.int32, (1, m), 1)
-                             == r_d)
-                ab[...] = jnp.where(is_rd_row, 0, ab[...])
+                stuck = jnp.where(to_phase2, 0, stuck)
+                last_z = jnp.where(to_phase2, inf, last_z)
 
-            # ---- stall / Bland switch ------------------------------------
-            z = jnp.where(phase == 1, -row1[0, N - 1], -row0[0, N - 1])
-            improved = (last_z - z) > opts.degen_tol
-            stuck = jnp.where(
-                do_pricing & act,
-                jnp.where(improved, 0, stuck + 1), stuck).astype(jnp.int32)
-            last_z = jnp.where(do_pricing & act, z, last_z)
-            bland = (bland > 0) | (stuck >= stall_limit)
+                finished_opt = in_phase2 & ~has_improving & ~cleanup
+                status = jnp.where(
+                    became_infeasible | became_failed1,
+                    jnp.int32(Status.INFEASIBLE),
+                    jnp.where(became_unbounded,
+                              jnp.int32(Status.UNBOUNDED),
+                              jnp.where(finished_opt,
+                                        jnp.int32(Status.OPTIMAL),
+                                        jnp.int32(Status.RUNNING))))
 
-            # ---- phase transition + termination ---------------------------
-            phase = jnp.where(to_phase2, 2, phase).astype(jnp.int32)
+                iscal[0] = phase
+                iscal[1] = status
+                iscal[2] = iscal[2] + act.astype(jnp.int32)
+                iscal[3] = stuck
+                iscal[4] = bland.astype(jnp.int32)
+                iscal[5] = t + act.astype(jnp.int32)
+                fscal[0] = last_z
 
-            @pl.when(to_phase2)
-            def _():
-                ca[...] = jnp.where(ac[...] > 0, 0, ca[...])
+            return carry
 
-            stuck = jnp.where(to_phase2, 0, stuck)
-            last_z = jnp.where(to_phase2, inf, last_z)
-
-            finished_opt = in_phase2 & ~has_improving & ~cleanup & running
-            new_status = jnp.where(
-                became_infeasible | became_failed1,
-                jnp.int32(Status.INFEASIBLE),
-                jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
-                          jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
-                                    jnp.int32(Status.RUNNING))))
-            status = jnp.where(running, new_status, status)
-
-            return (phase, status, niter + act.astype(jnp.int32), stuck,
-                    bland.astype(jnp.int32), t + act.astype(jnp.int32),
-                    last_z)
-
-        init = (iscal[0], iscal[1], iscal[2], iscal[3], iscal[4], iscal[5],
-                fscal[0])
-        phase, status, niter, stuck, bland, t, last_z = lax.fori_loop(
-            0, K, body, init)
-        iscal[0] = phase
-        iscal[1] = status
-        iscal[2] = niter
-        iscal[3] = stuck
-        iscal[4] = bland
-        iscal[5] = t
-        fscal[0] = last_z
+        lax.fori_loop(0, K, body, 0)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("opts", "stall_limit", "K", "interpret"))
+    static_argnames=("opts", "stall_limit", "K", "n_real", "m_real",
+                     "interpret"))
 def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
                         basis, art_basic, iscal, fscal,
                         opts: SolverOptions, stall_limit: int, K: int,
+                        n_real: int, m_real: int,
                         interpret: bool = False):
     """Run K eta pivots in one Pallas program.
 
-    Shapes: T (M, N); Tt (N, M); row0/row1 (1, N); bvec (1, M);
-    col_active/art_cols (1, N-1) int32; basis/art_basic (1, m) int32;
+    Shapes (8-aligned padded; see tpulp.solve.blocked_pallas for the padding
+    contract): T (M8, N8); Tt (N8, M8); row0/row1 (1, N8); bvec (1, M8);
+    col_active/art_cols (1, N8) int32 (zero at the RHS column n_real-1 and
+    all pads); basis/art_basic (1, M8-2) int32 (basis pads BIG, art pads 0);
     iscal (8,) int32 [phase, status, niter, stuck, bland, t, -, -];
-    fscal (2,) dtype [last_z, -].
+    fscal (2,) dtype [last_z, -]. n_real/m_real are the logical column/row
+    counts.
 
     Returns (U, V, row0, row1, bvec, col_active, art_cols, basis,
     art_basic, iscal, fscal) — max_iters is enforced by the caller between
     blocks (a block may overshoot by at most K pivots)."""
-    M, N = T.shape
-    m = M - 2
+    M8, N8 = T.shape
+    m8 = M8 - 2
     dtype = T.dtype
-    kernel = _make_kernel(opts, stall_limit, K, M, N, m, dtype)
+    kernel = _make_kernel(opts, stall_limit, K, M8, N8, n_real, m_real,
+                          dtype)
 
-    vec = lambda shape, dt=dtype: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     outs = pl.pallas_call(
         kernel,
         grid=(),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # T (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # Tt (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # T (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # Tt (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # row0
             pl.BlockSpec(memory_space=pltpu.VMEM),  # row1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bvec
@@ -312,28 +369,27 @@ def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((K, M), dtype),
-            jax.ShapeDtypeStruct((K, N), dtype),
-            jax.ShapeDtypeStruct((1, N), dtype),
-            jax.ShapeDtypeStruct((1, N), dtype),
-            jax.ShapeDtypeStruct((1, M), dtype),
-            jax.ShapeDtypeStruct((1, N - 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, N - 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, m), jnp.int32),
-            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((K, M8), dtype),
+            jax.ShapeDtypeStruct((K, N8), dtype),
+            jax.ShapeDtypeStruct((1, N8), dtype),
+            jax.ShapeDtypeStruct((1, N8), dtype),
+            jax.ShapeDtypeStruct((1, M8), dtype),
+            jax.ShapeDtypeStruct((1, N8), jnp.int32),
+            jax.ShapeDtypeStruct((1, N8), jnp.int32),
+            jax.ShapeDtypeStruct((1, m8), jnp.int32),
+            jax.ShapeDtypeStruct((1, m8), jnp.int32),
             jax.ShapeDtypeStruct((8,), jnp.int32),
             jax.ShapeDtypeStruct((2,), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, M), dtype),      # colj
-            pltpu.VMEM((1, N), dtype),      # vrow
-            pltpu.VMEM((1, N), dtype),      # row_d
+            pltpu.VMEM((8, M8), dtype),     # colj window (Tt rows)
+            pltpu.VMEM((8, N8), dtype),     # pivot-row window (T rows)
+            pltpu.VMEM((8, N8), dtype),     # cleanup-row window (T rows)
+            pltpu.VMEM((1, N8), dtype),     # reconstructed cleanup row
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
-        input_output_aliases={2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8,
-                              9: 9, 10: 10},
         interpret=interpret,
     )(T, Tt, row0, row1, bvec, col_active, art_cols, basis, art_basic,
       iscal, fscal)

@@ -3,11 +3,19 @@
 Same algorithm as ``tpulp.solve.blocked`` (rank-K eta blocks), but the K
 inner pivots run as ONE Pallas program with the eta factors resident in VMEM
 (see ``tpulp.kernels.pallas_block``): per-pivot HBM traffic drops from ~6MB
-(re-reading U/V) to ~48KB (one tableau column + one row DMA).
+(re-reading U/V) to two 8-row window DMAs (~400KB).
 
 Costs this variant adds: a transposed tableau copy ``Tt`` is maintained so
-the entering-column fetch is a contiguous row DMA; the per-block flush is
-two MXU matmuls (``T += U^T V`` and ``Tt += V^T U``) instead of one.
+the entering-column fetch is a contiguous (windowed) row DMA; the per-block
+flush is two MXU matmuls (``T += U^T V`` and ``Tt += V^T U``) instead of one.
+
+Padding contract (required by Mosaic's 8-row tile alignment for dynamic HBM
+slices): T is zero-padded to (M8, N8) with M8/N8 the next multiples of 8;
+the RHS stays at logical column n_real-1; the col-active/artificial masks
+are widened to (1, N8) with zeros at the RHS column and all pads; the basis
+vector is widened to (1, M8-2) with a BIG fill so padded rows never win the
+Bland row rule. Pad rows/cols of T are zero and stay zero under the rank-K
+flush because the eta factors are zero there.
 
 ``run_simplex_blocked_pallas`` is a drop-in alternative to
 ``run_simplex_blocked`` with the same SimplexState in/out contract; the
@@ -25,22 +33,29 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.state import SimplexState, SolverOptions, Status
-from ..kernels.pallas_block import blocked_inner_block
+from ..kernels.pallas_block import BIG_I, blocked_inner_block
 from .driver import _budget_key
 
 __all__ = ["run_simplex_blocked_pallas"]
 
 
+def _pad8(x: int) -> int:
+    # both dims padded to 128: a window DMA slices dim0 by 8 (sublane tile)
+    # and dim1 fully, and Mosaic requires full-width slices to be 128-aligned
+    # (lane tile); T and Tt are transposes so both dims need both properties
+    return -(-x // 128) * 128
+
+
 class _Carry(NamedTuple):
-    T: jax.Array          # (M, N)
-    Tt: jax.Array         # (N, M)
-    row0: jax.Array       # (1, N)
-    row1: jax.Array       # (1, N)
-    bvec: jax.Array       # (1, M)
-    ca: jax.Array         # (1, N-1) int32
-    ac: jax.Array         # (1, N-1) int32
-    basis: jax.Array      # (1, m) int32
-    ab: jax.Array         # (1, m) int32
+    T: jax.Array          # (M8, N8)
+    Tt: jax.Array         # (N8, M8)
+    row0: jax.Array       # (1, N8)
+    row1: jax.Array       # (1, N8)
+    bvec: jax.Array       # (1, M8)
+    ca: jax.Array         # (1, N8) int32
+    ac: jax.Array         # (1, N8) int32
+    basis: jax.Array      # (1, M8-2) int32
+    ab: jax.Array         # (1, M8-2) int32
     iscal: jax.Array      # (8,) int32 [phase, status, niter, stuck, bland, t]
     fscal: jax.Array      # (2,) dtype [last_z]
 
@@ -51,20 +66,31 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
     @jax.jit
     def driver(state: SimplexState, max_iters: jax.Array) -> SimplexState:
         dtype = state.T.dtype
-        T = state.T
-        M, N = T.shape
+        M, N = state.T.shape
         m = M - 2
+        M8, N8 = _pad8(M), _pad8(N)
+        m8 = M8 - 2
+
+        T = jnp.zeros((M8, N8), dtype).at[:M, :N].set(state.T)
+        ca = jnp.zeros((1, N8), jnp.int32).at[0, :N - 1].set(
+            state.col_active.astype(jnp.int32))
+        ac = jnp.zeros((1, N8), jnp.int32).at[0, :N - 1].set(
+            state.art_cols.astype(jnp.int32))
+        basis = jnp.full((1, m8), BIG_I, jnp.int32).at[0, :m].set(
+            state.basis.astype(jnp.int32))
+        ab = jnp.zeros((1, m8), jnp.int32).at[0, :m].set(
+            state.art_cols[state.basis].astype(jnp.int32))
 
         carry = _Carry(
             T=T,
             Tt=T.T,
             row0=T[0:1, :],
             row1=T[1:2, :],
-            bvec=T[:, -1].reshape(1, M),
-            ca=state.col_active.astype(jnp.int32).reshape(1, N - 1),
-            ac=state.art_cols.astype(jnp.int32).reshape(1, N - 1),
-            basis=state.basis.astype(jnp.int32).reshape(1, m),
-            ab=state.art_cols[state.basis].astype(jnp.int32).reshape(1, m),
+            bvec=T[:, N - 1].reshape(1, M8),
+            ca=ca,
+            ac=ac,
+            basis=basis,
+            ab=ab,
             iscal=jnp.stack([
                 state.phase.astype(jnp.int32),
                 state.status.astype(jnp.int32),
@@ -88,7 +114,7 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
                  c.T, c.Tt, c.row0, c.row1, c.bvec, c.ca, c.ac, c.basis,
                  c.ab, c.iscal, c.fscal,
                  opts=opts, stall_limit=stall_limit, K=K,
-                 interpret=interpret)
+                 n_real=N, m_real=m, interpret=interpret)
             # flush the rank-K update into both tableau copies (2 matmuls)
             T = c.T + jnp.einsum('km,kn->mn', U, V,
                                  preferred_element_type=dtype)
@@ -99,7 +125,7 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
             return _Carry(
                 T=T, Tt=Tt,
                 row0=T[0:1, :], row1=T[1:2, :],
-                bvec=T[:, -1].reshape(1, M),
+                bvec=T[:, N - 1].reshape(1, M8),
                 ca=ca, ac=ac, basis=basis, ab=ab,
                 iscal=iscal.at[5].set(0), fscal=fscal)
 
@@ -108,10 +134,10 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
         status = jnp.where(status == Status.RUNNING,
                            jnp.int32(Status.ITERATION_LIMIT), status)
         return SimplexState(
-            T=out.T,
-            basis=out.basis.reshape(m),
-            col_active=out.ca.reshape(N - 1) > 0,
-            art_cols=out.ac.reshape(N - 1) > 0,
+            T=out.T[:M, :N],
+            basis=out.basis[0, :m],
+            col_active=out.ca[0, :N - 1] > 0,
+            art_cols=out.ac[0, :N - 1] > 0,
             phase=out.iscal[0],
             status=status,
             niter=out.iscal[2],
