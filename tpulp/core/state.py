@@ -57,6 +57,10 @@ class Status:
     UNBOUNDED = 2
     INFEASIBLE = 3
     ITERATION_LIMIT = 4
+    # non-finite value detected in the iterates (f32 blowup): the basis is
+    # untrustworthy; callers should retry at higher precision (solve_lp
+    # retries in f64 automatically)
+    NUMERIC = 5
 
     NAMES = {
         0: "running",
@@ -64,6 +68,7 @@ class Status:
         2: "unbounded",
         3: "infeasible",
         4: "iteration_limit",
+        5: "numerical_error",
     }
 
 

@@ -287,14 +287,27 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
                 last_z = jnp.where(to_phase2, inf, last_z)
 
                 finished_opt = in_phase2 & ~has_improving & ~cleanup
+                # Non-finite guard (same contract as the jnp drivers): NaN in
+                # the pricing row reads as "no improving column" -> bogus
+                # OPTIMAL; report NUMERIC instead. Pads are zero / masked so
+                # full-width sums are safe.
+                finite_ok = (
+                    jnp.isfinite(z)
+                    & jnp.isfinite(jnp.sum(jnp.abs(bvec[...])))
+                    & jnp.isfinite(jnp.sum(
+                        jnp.where(ca_v, jnp.abs(crow), 0.0)))
+                )
                 status = jnp.where(
-                    became_infeasible | became_failed1,
-                    jnp.int32(Status.INFEASIBLE),
-                    jnp.where(became_unbounded,
-                              jnp.int32(Status.UNBOUNDED),
-                              jnp.where(finished_opt,
-                                        jnp.int32(Status.OPTIMAL),
-                                        jnp.int32(Status.RUNNING))))
+                    ~finite_ok,
+                    jnp.int32(Status.NUMERIC),
+                    jnp.where(
+                        became_infeasible | became_failed1,
+                        jnp.int32(Status.INFEASIBLE),
+                        jnp.where(became_unbounded,
+                                  jnp.int32(Status.UNBOUNDED),
+                                  jnp.where(finished_opt,
+                                            jnp.int32(Status.OPTIMAL),
+                                            jnp.int32(Status.RUNNING)))))
 
                 iscal[0] = phase
                 iscal[1] = status

@@ -21,7 +21,13 @@ from ..model.prog import MAX, LinProg
 from .driver import extract_solution, run_simplex
 from .refine import refine_basis_solution
 
-__all__ = ["Solution", "solve_lp", "solve_standard_form", "state_from_standard_form"]
+__all__ = [
+    "Solution",
+    "solve_lp",
+    "solve_standard_form",
+    "solve_standard_form_host",
+    "state_from_standard_form",
+]
 
 
 @dataclasses.dataclass
@@ -58,13 +64,57 @@ def state_from_standard_form(
                       n_extra_art=n_extra_art)
 
 
+def solve_standard_form_host(sf: StandardForm, rule: str = "dantzig"
+                             ) -> Solution:
+    """Exact-rational host solve of a lowered StandardForm.
+
+    The last rung of the precision ladder (``solve_standard_form`` falls back
+    here when float iterates diverge) and a directly-usable exact path — the
+    same host classes the CLI's ``--exact`` mode uses."""
+    from fractions import Fraction as F
+
+    from ..simplex import Simplex
+    from ..tableau import Tableau
+
+    if sf.trivially_infeasible:
+        return Solution(status="infeasible")
+    tab = Tableau.fromArrays(sf.c, sf.A, sf.b, names=sf.col_names)
+    sx = Simplex(tab, on_infeasible="status")
+    if sx.getStatus() is not None:
+        return Solution(status="infeasible", niter=sx.num_pivots)
+    status = sx.solve(rule=rule)
+    if status.value != "optimal":
+        return Solution(status=status.value, niter=sx.num_pivots)
+    bfs = sx.getBFS()
+    xc = [bfs.get(j, F(0)) for j in range(sf.n)]
+    z_min = sf.obj_const + sum(
+        (sf.c[j] * xc[j] for j in range(sf.n)), F(0))
+    return Solution(
+        status="optimal",
+        objective=sf.objective_value(xc),
+        x=sf.recover_solution(xc),
+        niter=sx.num_pivots,
+        objective_min=z_min,
+        col_values={j: xc[j] for j in range(sf.n) if xc[j] != 0},
+        basis=list(sx.getBasicSequence()),
+    )
+
+
 def solve_standard_form(
     sf: StandardForm,
     options: Optional[SolverOptions] = None,
     dtype=jnp.float64,
     refine: str = "auto",
+    fallback: str = "auto",
+    _depth: int = 0,
 ) -> Solution:
-    """Solve a lowered StandardForm on the device path."""
+    """Solve a lowered StandardForm on the device path.
+
+    ``fallback='auto'`` climbs a precision ladder on numeric failure (the
+    drivers report Status.NUMERIC when f32 iterates go non-finite; the
+    refinement step catches singular/infeasible float bases): f32 device ->
+    f64 device (when x64 is available) -> exact-rational host simplex.
+    ``fallback='none'`` reports ``numerical_error`` instead."""
     if options is None:
         options = SolverOptions.for_dtype(dtype)
     if sf.trivially_infeasible:
@@ -74,6 +124,23 @@ def solve_standard_form(
     status_code = int(out.status)
     status = Status.NAMES.get(status_code, f"status_{status_code}")
     niter = int(out.niter)
+
+    def _escalate() -> Solution:
+        if fallback == "none" or _depth >= 2:
+            return Solution(status="numerical_error", niter=niter)
+        have_f64 = jnp.zeros((), jnp.float64).dtype == jnp.dtype(np.float64)
+        if (_depth == 0 and have_f64
+                and state.T.dtype != jnp.dtype(np.float64)):
+            opts64 = SolverOptions.for_dtype(
+                jnp.float64, rule=options.rule, max_iters=options.max_iters,
+                degen_tol=options.degen_tol, stall_limit=options.stall_limit)
+            return solve_standard_form(
+                sf, options=opts64, dtype=jnp.float64, refine=refine,
+                fallback=fallback, _depth=1)
+        return solve_standard_form_host(sf)
+
+    if status == "numerical_error":
+        return _escalate()
     if status != "optimal":
         return Solution(status=status, niter=niter)
 
@@ -84,13 +151,17 @@ def solve_standard_form(
         col_values = {j: float(x_np[j]) for j in range(sf.n) if x_np[j] != 0}
         z_min = float(z_dev) + float(sf.obj_const)
     else:
-        col_values, z_min = refine_basis_solution(sf, basis, mode=refine)
+        try:
+            col_values, z_min = refine_basis_solution(sf, basis, mode=refine)
+        except (ZeroDivisionError, np.linalg.LinAlgError):
+            # singular float basis: the iterates lied about feasibility
+            return _escalate()
 
     # feasibility sanity on the refined basis values (a broken float basis
     # surfaces here rather than as a silently wrong answer)
     for v in col_values.values():
         if v < -1e-6:
-            return Solution(status="numerical_error", niter=niter)
+            return _escalate()
 
     def colval(j):
         return col_values.get(j, Fraction(0) if refine != "none" else 0.0)
@@ -118,6 +189,7 @@ def solve_lp(
     options: Optional[SolverOptions] = None,
     dtype=jnp.float64,
     refine: str = "auto",
+    fallback: str = "auto",
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
@@ -129,4 +201,5 @@ def solve_lp(
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
     sf = prog if isinstance(prog, StandardForm) else lower_to_standard_form(prog)
-    return solve_standard_form(sf, options=options, dtype=dtype, refine=refine)
+    return solve_standard_form(sf, options=options, dtype=dtype,
+                               refine=refine, fallback=fallback)

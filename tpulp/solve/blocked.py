@@ -166,11 +166,21 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     last_z = jnp.where(to_phase2, inf, last_z)
 
     finished_opt = in_phase2 & ~has_improving & ~cleanup & running
+    # Non-finite guard (same contract as driver.py): NaN poisons pricing into
+    # a bogus OPTIMAL; detect on the step's own pricing row + post-pivot
+    # objective/RHS and report NUMERIC instead.
+    finite_ok = (
+        jnp.isfinite(z)
+        & jnp.isfinite(jnp.sum(jnp.abs(bvec[2:])))
+        & jnp.isfinite(jnp.sum(jnp.where(s.col_active, jnp.abs(crow), 0.0)))
+    )
     new_status = jnp.where(
-        became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
-        jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
-                  jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
-                            jnp.int32(Status.RUNNING))))
+        ~finite_ok, jnp.int32(Status.NUMERIC),
+        jnp.where(
+            became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+            jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                      jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                                jnp.int32(Status.RUNNING)))))
     status = jnp.where(running, new_status, s.status)
 
     s = SimplexState(

@@ -232,11 +232,23 @@ def simplex_step(state: SimplexState, opts: SolverOptions,
     last_z = jnp.where(to_phase2, inf, last_z)
 
     finished_opt = in_phase2 & ~has_improving & ~cleanup
+    # Non-finite guard: a f32 blowup poisons pricing with NaN (NaN < -tol is
+    # False), which would otherwise read as "no improving column" -> a bogus
+    # OPTIMAL. Check the pricing row actually driving this step's decision,
+    # the post-pivot objective, and the post-pivot RHS; any NaN/inf ->
+    # NUMERIC so callers can retry at higher precision.
+    finite_ok = (
+        jnp.isfinite(z)
+        & jnp.isfinite(jnp.sum(jnp.abs(Tn[2:, -1])))
+        & jnp.isfinite(jnp.sum(jnp.where(state.col_active, jnp.abs(crow), 0.0)))
+    )
     new_status = jnp.where(
-        became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
-        jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
-                  jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
-                            jnp.int32(Status.RUNNING))))
+        ~finite_ok, jnp.int32(Status.NUMERIC),
+        jnp.where(
+            became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+            jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                      jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                                jnp.int32(Status.RUNNING)))))
     status = jnp.where(running, new_status, state.status)
 
     return SimplexState(
