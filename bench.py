@@ -60,21 +60,22 @@ def parity_check():
         sol.status, sol.objective)
 
 
-def _timed_pivots(state, opts, run):
-    """(niter, seconds) for one driver run, using a host-side scalar read as
-    the completion barrier (block_until_ready does not reliably block over
-    the axon tunnel — empirically verified)."""
-    t0 = time.time()
-    out = run(state, opts)
-    niter = int(out.niter)  # device->host read: the true barrier
-    return niter, time.time() - t0
+def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
+              seed=0, verbose=False, driver="pallas", block=128,
+              repeats=50, reps=5):
+    """Pivot throughput via ACCUMULATED two-point differencing.
 
-
-def run_bench(m=4096, n_struct=4096, pivots=300, dtype_name="float32",
-              seed=0, verbose=False, driver="blocked", block=128):
-    """Pivot throughput via two-point differencing: run the driver with a
-    small and a large pivot budget; the rate is d(pivots)/d(time), which
-    cancels dispatch overhead and the fixed ~50ms tunnel read latency."""
+    A single driver call finishes in a few ms at the Pallas driver's rate
+    while the tunneled-TPU per-call latency jitters by ~10ms, so one-shot
+    differencing is variance-dominated (round-1 lesson: the captured 7k
+    number vs the logged 12k were both noise). Instead each budget is timed
+    over ``repeats`` back-to-back calls (host-side ``int(niter)`` read is the
+    completion barrier — ``block_until_ready`` does not reliably block over
+    the axon tunnel); the rate is d(total pivots)/d(total time) between the
+    small and large budgets, which cancels the per-call latency exactly
+    (same call count on both sides). The reported number is the MEDIAN over
+    ``reps`` independent measurements.
+    """
     import jax.numpy as jnp
 
     from tpulp.core import SolverOptions
@@ -98,22 +99,37 @@ def run_bench(m=4096, n_struct=4096, pivots=300, dtype_name="float32",
 
     # compile both executables
     t0 = time.time()
-    _timed_pivots(state, o_small, run)
-    _timed_pivots(state, o_big, run)
+    n_small = int(run(state, o_small).niter)
+    n_big = int(run(state, o_big).niter)
     t_warm = time.time() - t0
-
-    n_small, t_small = _timed_pivots(state, o_small, run)
-    n_big, t_big = _timed_pivots(state, o_big, run)
     if n_big <= n_small:
-        # converged before the big budget: fall back to single-run rate
-        rate = n_big / t_big
-    else:
-        rate = (n_big - n_small) / (t_big - t_small)
+        raise SystemExit(
+            f"bench instance terminates at {n_big} pivots, below the small "
+            f"budget {p_small}; pick a larger instance or smaller --pivots")
+
+    rates = []
+    for rep in range(reps):
+        tot = {}
+        for o, key in ((o_small, "s"), (o_big, "b")):
+            t0 = time.time()
+            for _ in range(repeats):
+                _ = int(run(state, o).niter)  # host read = barrier
+            tot[key] = time.time() - t0
+        rate = repeats * (n_big - n_small) / (tot["b"] - tot["s"])
+        rates.append(rate)
+        if verbose:
+            print(
+                f"# rep {rep}: {repeats}x{n_small}p in {tot['s']:.3f}s, "
+                f"{repeats}x{n_big}p in {tot['b']:.3f}s -> {rate:.0f} "
+                f"pivots/s",
+                file=sys.stderr,
+            )
+    rate = float(np.median(rates))
     if verbose:
         print(
-            f"# {dtype_name}: warm {t_warm:.1f}s; {n_small} piv in "
-            f"{t_small:.3f}s, {n_big} piv in {t_big:.3f}s -> "
-            f"{rate:.0f} pivots/s",
+            f"# {dtype_name} {driver} K={block}: warm {t_warm:.1f}s; "
+            f"median {rate:.0f} pivots/s over {reps} reps "
+            f"(spread {min(rates):.0f}..{max(rates):.0f})",
             file=sys.stderr,
         )
     return rate, n_big
@@ -166,16 +182,26 @@ def main():
     ap.add_argument("--n", type=int, default=4096,
                     help="dense structural columns (tableau width = m + n)")
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--pivots", type=int, default=300)
+    ap.add_argument("--pivots", type=int, default=1024)
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "float64"])
-    ap.add_argument("--driver", default="blocked",
+    ap.add_argument("--driver", default="pallas",
                     choices=["blocked", "pallas", "rank1"])
     ap.add_argument("--block", type=int, default=128,
-                    help="rank-K block size for the blocked driver")
+                    help="rank-K block size for the blocked/pallas drivers")
+    ap.add_argument("--repeats", type=int, default=50,
+                    help="back-to-back calls per timed budget")
+    ap.add_argument("--reps", type=int, default=5,
+                    help="independent measurements (median reported)")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
+
+    if args.dtype == "float64":
+        # must happen before any tpulp array is created
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
 
     if not args.skip_parity:
         parity_check()
@@ -196,7 +222,8 @@ def main():
 
     rate, _ = run_bench(m=args.m, n_struct=args.n, pivots=args.pivots,
                         dtype_name=args.dtype, verbose=args.verbose,
-                        driver=args.driver, block=args.block)
+                        driver=args.driver, block=args.block,
+                        repeats=args.repeats, reps=args.reps)
     print(json.dumps({
         "metric": f"simplex pivot throughput, {args.m}x{args.m + args.n} "
                   f"dense {args.dtype} tableau, 1 chip",

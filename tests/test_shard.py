@@ -129,6 +129,23 @@ class TestShardMap:
         assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
         assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
 
+    def test_poisoned_state_reports_numeric(self, mesh):
+        """Mirror of tests/test_numeric_guard.py for the sharded driver: a
+        NaN in an active pricing entry must read NUMERIC, never a bogus
+        OPTIMAL (the failure class the guard exists for)."""
+        st = random_dense_state(5)
+        st = st._replace(T=st.T.at[0, 0].set(jnp.nan))
+        opts = SolverOptions.for_dtype(st.T.dtype, max_iters=50)
+        out_sh = run_simplex_sharded(to_sharded_state(st, mesh), mesh, opts)
+        assert int(out_sh.status) == Status.NUMERIC
+
+    def test_poisoned_rhs_reports_numeric(self, mesh):
+        st = random_dense_state(6)
+        st = st._replace(T=st.T.at[4, -1].set(jnp.nan))
+        opts = SolverOptions.for_dtype(st.T.dtype, max_iters=50)
+        out_sh = run_simplex_sharded(to_sharded_state(st, mesh), mesh, opts)
+        assert int(out_sh.status) == Status.NUMERIC
+
     def test_mesh_sizes(self):
         # sharding must work for any divisor mesh, including size 1
         st = random_dense_state(4, m=10, n=21)

@@ -351,11 +351,24 @@ def _sharded_step(s: ShardedState, opts: SolverOptions, stall_limit: int,
     last_z = jnp.where(to_phase2, inf, last_z)
 
     finished_opt = in_phase2 & ~has_improving & ~cleanup & running
+    # Non-finite guard (same contract as solve/driver.py:240-252): a f32
+    # blowup poisons pricing with NaN (NaN < -tol is False), which would
+    # otherwise read as "no improving column" -> a bogus OPTIMAL. The pricing
+    # check needs a psum so every shard sees non-finiteness anywhere in the
+    # sharded reduced-cost row; rhs is replicated so its check is local.
+    finite_ok = (
+        jnp.isfinite(z)
+        & jnp.isfinite(jnp.sum(jnp.abs(rhsn[2:])))
+        & jnp.isfinite(lax.psum(
+            jnp.sum(jnp.where(s.col_active, jnp.abs(crow), 0.0)), axis))
+    )
     new_status = jnp.where(
-        became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
-        jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
-                  jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
-                            jnp.int32(Status.RUNNING))))
+        ~finite_ok, jnp.int32(Status.NUMERIC),
+        jnp.where(
+            became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+            jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                      jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                                jnp.int32(Status.RUNNING)))))
     status = jnp.where(running, new_status, s.status)
 
     return ShardedState(
