@@ -175,9 +175,55 @@ def run_bench_batch(batch=1024, m=64, n_struct=64, dtype_name="float32",
     return total_piv / dt, batch / dt
 
 
+def run_bench_corpus(dtype_name="float32", verbose=False):
+    """Corpus parity sweep (BASELINE parity bar: lpsol LPs + netlib-style
+    instances, rel gap <= 1e-9). Solves every corpus case on the device path
+    at the requested iterate precision with the full precision ladder +
+    exact-basis refinement; reports exact-match count and prints the per-case
+    parity table (raw float objective gap vs refined gap) when verbose."""
+    import jax.numpy as jnp
+
+    from tpulp.corpus import CASES
+    from tpulp.solve import solve_lp
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
+    n_ok = 0
+    rows = []
+    for c in CASES:
+        sf = c.lp().lower()
+        t0 = time.time()
+        sol = solve_lp(sf, dtype=dtype, max_iters=c.max_iters)
+        dt = time.time() - t0
+        ok = sol.status == c.status
+        raw_gap = refined_gap = None
+        if c.status == "optimal" and ok:
+            # raw float objective (no refinement) vs exact oracle
+            raw = solve_lp(sf, dtype=dtype, refine="none", fallback="none",
+                           max_iters=c.max_iters)
+            denom = max(abs(float(c.objective)), 1.0)
+            if raw.status == "optimal":
+                raw_gap = abs(float(raw.objective) - float(c.objective)) / denom
+            refined_gap = abs(
+                float(sol.objective - c.objective)) / denom
+            ok = ok and refined_gap <= 1e-9
+        n_ok += bool(ok)
+        rows.append((c.name, sol.status, sol.niter, raw_gap, refined_gap, dt))
+        if verbose:
+            rg = f"{raw_gap:.2e}" if raw_gap is not None else "-"
+            fg = f"{refined_gap:.2e}" if refined_gap is not None else "-"
+            print(
+                f"# {c.name:24s} {sol.status:12s} niter={sol.niter:6d} "
+                f"raw_gap={rg:9s} refined_gap={fg:9s} {dt:6.2f}s "
+                f"{'OK' if ok else 'FAIL'}",
+                file=sys.stderr,
+            )
+    return n_ok, len(CASES), rows
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", default="single", choices=["single", "batch"])
+    ap.add_argument("--mode", default="single",
+                    choices=["single", "batch", "corpus"])
     ap.add_argument("--m", type=int, default=4096)
     ap.add_argument("--n", type=int, default=4096,
                     help="dense structural columns (tableau width = m + n)")
@@ -197,14 +243,27 @@ def main():
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
-    if args.dtype == "float64":
-        # must happen before any tpulp array is created
+    if args.dtype == "float64" or args.mode == "corpus":
+        # must happen before any tpulp array is created; corpus mode needs
+        # x64 so the precision ladder's f64 rung exists on device
         import jax
 
         jax.config.update("jax_enable_x64", True)
 
     if not args.skip_parity:
         parity_check()
+
+    if args.mode == "corpus":
+        n_ok, n_total, _ = run_bench_corpus(
+            dtype_name=args.dtype, verbose=args.verbose)
+        print(json.dumps({
+            "metric": f"corpus parity, {n_total} netlib-style instances, "
+                      f"{args.dtype} iterates + exact refinement, 1 chip",
+            "value": n_ok,
+            "unit": "instances at <=1e-9 rel gap",
+            "vs_baseline": round(n_ok / n_total, 4),
+        }))
+        return
 
     target = 1e4
     if args.mode == "batch":

@@ -205,7 +205,24 @@ def _extract_one(sf: StandardForm, basis_cols, z_float, niter, refine,
             x[name] = v
         return Solution(status="optimal", objective=obj, x=x, niter=niter,
                         objective_min=z_min, col_values=vals, basis=remapped)
-    col_values, z_min = refine_basis_solution(sf, remapped, mode=refine)
+    try:
+        col_values, z_min = refine_basis_solution(sf, remapped, mode=refine)
+    except (ZeroDivisionError, np.linalg.LinAlgError):
+        return Solution(status="numerical_error", niter=niter)
+    # optimality-certificate check (same contract as solve_standard_form):
+    # the batch has no per-lane precision ladder, so a failed certificate is
+    # reported as numerical_error for the caller to re-solve solo
+    from ..solve.refine import exact_basis_certificate, float_basis_certificate
+
+    try:
+        if sf.m <= 192:
+            primal_ok, dual_ok = exact_basis_certificate(sf, remapped)
+        else:
+            primal_ok, dual_ok = float_basis_certificate(sf, remapped)
+    except (ZeroDivisionError, np.linalg.LinAlgError):
+        return Solution(status="numerical_error", niter=niter)
+    if not (primal_ok and dual_ok):
+        return Solution(status="numerical_error", niter=niter)
     obj = -z_min if sf.sense == MAX else z_min
     from fractions import Fraction
 

@@ -1,10 +1,10 @@
-"""TPU kernels: Pallas fused pivot/pricing, plus the jnp reference path.
+"""TPU kernels: the Pallas persistent-VMEM blocked pivot loop.
 
-The jnp implementations live in ``tpulp.solve.driver`` (``pivot_update``,
-``choose_pivot``) — XLA fuses them well; the Pallas versions here fuse the
-pricing reduction into the same HBM pass and serve as the explicit-kernel
-path mandated by BASELINE.json."""
+The jnp rank-1 path lives in ``tpulp.solve.driver.pivot_update`` (XLA fuses
+it into one HBM read+write); this package holds the explicit Pallas kernel
+that runs a whole rank-K eta block on-chip (``blocked_inner_block``), the
+production hot path mandated by BASELINE.json."""
 
-from .pallas_pivot import fused_pivot_update, pallas_pivot_update
+from .pallas_block import blocked_inner_block
 
-__all__ = ["fused_pivot_update", "pallas_pivot_update"]
+__all__ = ["blocked_inner_block"]

@@ -2,7 +2,6 @@
 
 from .api import Solution, solve_lp, solve_standard_form, state_from_standard_form
 from .driver import (
-    choose_pivot,
     extract_solution,
     pivot_update,
     run_simplex,
@@ -19,7 +18,6 @@ __all__ = [
     "run_simplex",
     "run_simplex_blocked",
     "simplex_step",
-    "choose_pivot",
     "pivot_update",
     "extract_solution",
     "refine_basis_solution",

@@ -19,7 +19,11 @@ from ..core.state import SimplexState, SolverOptions, Status, make_state
 from ..model.lower import StandardForm, lower_to_standard_form
 from ..model.prog import MAX, LinProg
 from .driver import extract_solution, run_simplex
-from .refine import refine_basis_solution
+from .refine import (
+    exact_basis_certificate,
+    float_basis_certificate,
+    refine_basis_solution,
+)
 
 __all__ = [
     "Solution",
@@ -141,7 +145,15 @@ def solve_standard_form(
 
     if status == "numerical_error":
         return _escalate()
+    is_f32 = state.T.dtype == jnp.dtype(np.float32)
     if status != "optimal":
+        # A low-precision infeasible/unbounded verdict is tolerance-driven
+        # and can be FALSE (measured on TPU: f32 phase-1 roundoff pushed the
+        # artificial optimum past infeas_tol on feasible equality-heavy
+        # corpus instances). Confirm at higher precision before reporting.
+        if (status in ("infeasible", "unbounded") and is_f32
+                and fallback != "none" and _depth < 2):
+            return _escalate()
         return Solution(status=status, niter=niter)
 
     basis = [int(j) for j in np.asarray(out.basis)]
@@ -155,6 +167,21 @@ def solve_standard_form(
             col_values, z_min = refine_basis_solution(sf, basis, mode=refine)
         except (ZeroDivisionError, np.linalg.LinAlgError):
             # singular float basis: the iterates lied about feasibility
+            return _escalate()
+
+        # verify the OPTIMALITY CERTIFICATE of the proposed basis (exact
+        # strong duality at refinable sizes, f64 otherwise): float iterates
+        # can converge to a feasible-but-suboptimal basis (observed on the
+        # ill-scaled corpus case in f32) and the exact objective of a wrong
+        # basis is still the wrong answer
+        try:
+            if sf.m <= 192:
+                primal_ok, dual_ok = exact_basis_certificate(sf, basis)
+            else:
+                primal_ok, dual_ok = float_basis_certificate(sf, basis)
+        except (ZeroDivisionError, np.linalg.LinAlgError):
+            return _escalate()
+        if not (primal_ok and dual_ok):
             return _escalate()
 
     # feasibility sanity on the refined basis values (a broken float basis

@@ -40,55 +40,8 @@ __all__ = [
     "simplex_step",
     "run_simplex",
     "extract_solution",
-    "choose_pivot",
     "pivot_update",
 ]
-
-
-def _pricing_row(state: SimplexState) -> jax.Array:
-    """Reduced costs driving the current phase (phase 1 -> row 1)."""
-    return jnp.where(state.phase == 1, state.T[1, :-1], state.T[0, :-1])
-
-
-def choose_pivot(state: SimplexState, opts: SolverOptions):
-    """Select (row, col) under the active rule.
-
-    Returns ``(has_improving, has_ratio, r, j)`` where ``r`` indexes
-    constraint rows (0..m-1) and ``j`` columns; ``r``/``j`` are only
-    meaningful when the respective flags are True.
-    """
-    n = state.n
-    dtype = state.T.dtype
-    crow = _pricing_row(state)
-    c_eff = jnp.where(state.col_active, crow, jnp.asarray(jnp.inf, dtype))
-    improving = c_eff < -opts.opt_tol
-    has_improving = jnp.any(improving)
-
-    use_bland = state.bland | (opts.rule == RULE_BLAND)
-    col_ids = jnp.arange(n, dtype=jnp.int32)
-    j_dantzig = jnp.argmin(c_eff).astype(jnp.int32)
-    j_bland = jnp.min(jnp.where(improving, col_ids, n)).astype(jnp.int32)
-    j = jnp.where(use_bland, jnp.minimum(j_bland, n - 1), j_dantzig)
-
-    # ratio test on the entering column
-    col = state.T[2:, j]
-    b = state.T[2:, -1]
-    pos = col > opts.piv_tol
-    has_ratio = jnp.any(pos)
-    big = jnp.asarray(jnp.inf, dtype)
-    ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), big)
-    min_ratio = jnp.min(ratios)
-    # tie rows: Bland breaks ties by smallest basic-variable index (the
-    # anti-cycling guarantee); Dantzig mode takes the first row
-    tie = ratios <= min_ratio
-    m = state.m
-    row_ids = jnp.arange(m, dtype=jnp.int32)
-    r_first = jnp.argmax(tie).astype(jnp.int32)
-    r_bland = jnp.argmin(jnp.where(tie, state.basis, jnp.int32(2**30))).astype(
-        jnp.int32)
-    r = jnp.where(use_bland, r_bland, r_first)
-    del row_ids
-    return has_improving, has_ratio, r, j
 
 
 def pivot_update(T: jax.Array, r_glob: jax.Array, j: jax.Array) -> jax.Array:

@@ -20,7 +20,12 @@ import numpy as np
 
 from ..model.lower import StandardForm
 
-__all__ = ["refine_basis_solution", "exact_basis_solve"]
+__all__ = [
+    "refine_basis_solution",
+    "exact_basis_solve",
+    "exact_basis_certificate",
+    "float_basis_certificate",
+]
 
 ZERO = Fraction(0)
 ONE = Fraction(1)
@@ -47,17 +52,13 @@ def _basis_columns_exact(sf: StandardForm, basis: Sequence[int]
     return cols
 
 
-def exact_basis_solve(sf: StandardForm, basis: Sequence[int]
-                      ) -> Tuple[Dict[int, Fraction], Fraction]:
-    """Solve ``B x_B = b`` in exact rationals; returns ({col: value}, z_min)
-    where z_min is the minimization objective INCLUDING obj_const.
+def _exact_gauss_solve(cols: List[List[Fraction]], rhs: List[Fraction]
+                       ) -> List[Fraction]:
+    """Solve ``M x = rhs`` exactly where M's k-th COLUMN is cols[k].
 
-    Raises ZeroDivisionError if the basis matrix is singular (meaning the
-    float iteration returned a numerically-broken basis)."""
-    m = sf.m
-    cols = _basis_columns_exact(sf, basis)
-    # augmented [B | b] Gauss-Jordan with partial (first-nonzero) pivoting
-    aug = [[cols[k][i] for k in range(m)] + [sf.b[i]] for i in range(m)]
+    Raises ZeroDivisionError on a singular matrix."""
+    m = len(rhs)
+    aug = [[cols[k][i] for k in range(m)] + [rhs[i]] for i in range(m)]
     for k in range(m):
         p = next((i for i in range(k, m) if aug[i][k] != 0), None)
         if p is None:
@@ -69,7 +70,18 @@ def exact_basis_solve(sf: StandardForm, basis: Sequence[int]
             if i != k and aug[i][k] != 0:
                 f = aug[i][k]
                 aug[i] = [a - f * bk for a, bk in zip(aug[i], aug[k])]
-    xb = [aug[i][m] for i in range(m)]
+    return [aug[i][m] for i in range(m)]
+
+
+def exact_basis_solve(sf: StandardForm, basis: Sequence[int]
+                      ) -> Tuple[Dict[int, Fraction], Fraction]:
+    """Solve ``B x_B = b`` in exact rationals; returns ({col: value}, z_min)
+    where z_min is the minimization objective INCLUDING obj_const.
+
+    Raises ZeroDivisionError if the basis matrix is singular (meaning the
+    float iteration returned a numerically-broken basis)."""
+    cols = _basis_columns_exact(sf, basis)
+    xb = _exact_gauss_solve(cols, list(sf.b))
     values: Dict[int, Fraction] = {}
     z = sf.obj_const
     for k, j in enumerate(basis):
@@ -80,6 +92,79 @@ def exact_basis_solve(sf: StandardForm, basis: Sequence[int]
         # artificial basics contribute nothing (value must be 0 for a
         # feasible basis; callers may check)
     return values, z
+
+
+def exact_basis_certificate(sf: StandardForm, basis: Sequence[int]
+                            ) -> Tuple[bool, bool]:
+    """(primal_feasible, dual_feasible) of a basis, verified EXACTLY.
+
+    The float iterates only *propose* a basis; a wrongly-converged f32 run
+    (observed on the ill-scaled corpus case) proposes a feasible but
+    SUBOPTIMAL basis, which exact-objective refinement alone cannot catch.
+    Strong duality closes the loop: if ``B x_B = b`` has x_B >= 0 (primal)
+    and ``y = B^-T c_B`` prices every column nonnegatively
+    (``c_j - y . A_j >= 0``, dual), the basis is exactly optimal — the same
+    certificate the reference's ``isOptimal`` checks in rational arithmetic
+    (/root/reference/lpsol/tableau.py:500-502), applied once at the end
+    instead of every pivot.
+
+    Raises ZeroDivisionError if the basis matrix is singular. An artificial
+    column in the basis at value 0 is allowed (degenerate phase-1 leftovers);
+    at nonzero value it is primal-infeasible."""
+    m = sf.m
+    cols = _basis_columns_exact(sf, basis)
+    xb = _exact_gauss_solve(cols, list(sf.b))
+    primal = all(v >= 0 for v in xb)
+    # artificial basics must sit at exactly 0
+    for k, j in enumerate(basis):
+        if int(j) >= sf.n and xb[k] != 0:
+            primal = False
+    # dual: solve B^T y = c_B exactly (rows of B become columns of B^T)
+    art_rows = _artificial_row_map(sf)
+    cb = []
+    for j in basis:
+        j = int(j)
+        cb.append(sf.c[j] if j < sf.n else ZERO)
+    bt_cols = [[cols[k][i] for k in range(m)] for i in range(m)]
+    y = _exact_gauss_solve(bt_cols, cb)
+    del art_rows
+    dual = True
+    for j in range(sf.n):
+        s = sf.c[j] - sum(sf.A[i][j] * y[i] for i in range(m))
+        if s < 0:
+            dual = False
+            break
+    return primal, dual
+
+
+def float_basis_certificate(sf: StandardForm, basis: Sequence[int],
+                            tol: float = 1e-7) -> Tuple[bool, bool]:
+    """f64 version of ``exact_basis_certificate`` for instances too large to
+    verify in rationals; tolerance-based, so it can only REJECT confidently
+    (a pass within tol is 'not disproven', the best f64 can say)."""
+    c64, A64, b64 = sf.to_dense(np.float64)
+    m = sf.m
+    art_rows = _artificial_row_map(sf)
+    B = np.zeros((m, m))
+    cb = np.zeros(m)
+    for k, j in enumerate(basis):
+        j = int(j)
+        if j < sf.n:
+            B[:, k] = A64[:, j]
+            cb[k] = c64[j]
+        else:
+            B[art_rows[j - sf.n], k] = 1.0
+    xb = np.linalg.solve(B, b64)
+    scale = max(float(np.abs(b64).max()), 1.0)
+    primal = bool((xb >= -tol * scale).all())
+    for k, j in enumerate(basis):
+        if int(j) >= sf.n and abs(xb[k]) > tol * scale:
+            primal = False
+    y = np.linalg.solve(B.T, cb)
+    s = c64 - A64.T @ y
+    cscale = max(float(np.abs(c64).max()), 1.0)
+    dual = bool((s >= -tol * cscale).all())
+    return primal, dual
 
 
 def refine_basis_solution(
