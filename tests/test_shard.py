@@ -15,10 +15,12 @@ from tpulp.shard import (
     make_mesh,
     run_simplex_gspmd,
     run_simplex_sharded,
+    run_simplex_sharded_blocked,
     shard_state,
     to_sharded_state,
 )
 from tpulp.solve import run_simplex, state_from_standard_form
+from tpulp.solve.blocked import run_simplex_blocked
 
 
 def textbook_lp():
@@ -153,6 +155,85 @@ class TestShardMap:
         for p in [1, 2, 4]:
             mesh = make_mesh(p)
             out_sh = run_simplex_sharded(to_sharded_state(st, mesh), mesh)
+            out = from_sharded_state(out_sh, st.n)
+            assert int(out.status) == int(ref.status), p
+            assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+
+
+class TestShardedBlocked:
+    """Sharded rank-K eta-block driver (VERDICT r1 item 3): must walk the
+    SAME pivot sequence as the single-device blocked driver — local eta
+    slices per shard, one fused (m+2+K) psum per pivot, one local rank-K
+    flush per block."""
+
+    def test_textbook(self, mesh):
+        sf = textbook_lp().lower()
+        st = state_from_standard_form(sf)
+        out_sh = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, block=8)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(out.objective()) - (-400)) < 1e-9
+
+    def test_phase1_transition(self, mesh):
+        sf = phase1_lp().lower()
+        st = state_from_standard_form(sf)
+        out_sh = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, block=8)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(out.objective()) - 10) < 1e-9
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    @pytest.mark.parametrize("block", [8, 32])
+    def test_pivot_parity_vs_blocked(self, mesh, seed, block):
+        """Identical basis sequence / iteration count vs run_simplex_blocked
+        at the same K (the parity bar the VERDICT set for this driver)."""
+        st = random_dense_state(seed)
+        ref = run_simplex_blocked(st, block=block)
+        out_sh = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, block=block)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == int(ref.status)
+        assert int(out.niter) == int(ref.niter)
+        assert abs(float(out.objective()) - float(ref.objective())) < 1e-7
+        assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+
+    def test_statuses(self, mesh):
+        inf_lp = LinProg()
+        inf_lp.addVar("x")
+        inf_lp.minimize(LinExpr(1, "x"))
+        inf_lp.addConstraint(LinExpr(1, "x").constraintLeq(1))
+        inf_lp.addConstraint(LinExpr(1, "x").constraintGeq(3))
+        st = state_from_standard_form(inf_lp.lower())
+        out = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, block=8)
+        assert int(out.status) == Status.INFEASIBLE
+
+        unb_lp = LinProg()
+        unb_lp.addVar("x")
+        unb_lp.minimize(LinExpr(-1, "x"))
+        unb_lp.addConstraint(LinExpr(1, "x").constraintGeq(1))
+        st2 = state_from_standard_form(unb_lp.lower())
+        out2 = run_simplex_sharded_blocked(
+            to_sharded_state(st2, mesh), mesh, block=8)
+        assert int(out2.status) == Status.UNBOUNDED
+
+    def test_poisoned_state_reports_numeric(self, mesh):
+        st = random_dense_state(5)
+        st = st._replace(T=st.T.at[0, 0].set(jnp.nan))
+        opts = SolverOptions.for_dtype(st.T.dtype, max_iters=50)
+        out_sh = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, opts, block=8)
+        assert int(out_sh.status) == Status.NUMERIC
+
+    def test_mesh_sizes(self):
+        st = random_dense_state(4, m=10, n=21)
+        ref = run_simplex_blocked(st, block=8)
+        for p in [1, 2, 4]:
+            mesh = make_mesh(p)
+            out_sh = run_simplex_sharded_blocked(
+                to_sharded_state(st, mesh), mesh, block=8)
             out = from_sharded_state(out_sh, st.n)
             assert int(out.status) == int(ref.status), p
             assert abs(float(out.objective()) - float(ref.objective())) < 1e-8

@@ -9,6 +9,7 @@ from .sharded import (
     shard_state,
     to_sharded_state,
 )
+from .sharded_blocked import run_simplex_sharded_blocked
 
 __all__ = [
     "ShardedState",
@@ -18,4 +19,5 @@ __all__ = [
     "to_sharded_state",
     "from_sharded_state",
     "run_simplex_sharded",
+    "run_simplex_sharded_blocked",
 ]
