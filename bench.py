@@ -60,9 +60,39 @@ def parity_check():
         sol.status, sol.objective)
 
 
+def _roofline(driver, m, n_struct, block, dtype_name, rate, verbose):
+    """Model HBM bytes/pivot for the chosen driver and compare the achieved
+    bandwidth against the chip's peak (SURVEY §5 roofline check).
+
+    Traffic models (f-byte elements, tableau (M, N) ~ (m+2, m+n+1)):
+      rank1   : 2*M*N*f                  (read + write the tableau each pivot)
+      blocked : 2*M*N*f/K + (M+N)*K*f    (flush amortized; U,V re-read/pivot)
+      pallas  : 4*M*N*f/K + 8*(M+N)*f    (T and Tt flushed; two 8-row windows
+                                          per pivot; U,V live in VMEM)
+    """
+    f = {"float32": 4, "float64": 8}[dtype_name]
+    M, N = m + 2, m + n_struct + 1
+    if driver == "rank1":
+        bpp = 2 * M * N * f
+    elif driver == "blocked":
+        bpp = 2 * M * N * f / block + (M + N) * block * f
+    else:  # pallas
+        bpp = 4 * M * N * f / block + 8 * (M + N) * f
+    peak = 819e9  # one TPU v5e HBM, bytes/s
+    achieved = bpp * rate
+    sol = peak / bpp  # speed-of-light pivots/s at this traffic model
+    line = (
+        f"# roofline[{driver} K={block}]: {bpp / 1e6:.2f} MB/pivot model -> "
+        f"{achieved / 1e9:.0f} GB/s achieved of {peak / 1e9:.0f} GB/s peak "
+        f"({100 * achieved / peak:.0f}%); speed-of-light {sol:.0f} pivots/s "
+        f"(measured {rate:.0f} = {100 * rate / sol:.0f}% of SoL)")
+    print(line, file=sys.stderr)
+    return line
+
+
 def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
               seed=0, verbose=False, driver="pallas", block=128,
-              repeats=50, reps=5):
+              repeats=50, reps=5, profile=False):
     """Pivot throughput via ACCUMULATED two-point differencing.
 
     A single driver call finishes in a few ms at the Pallas driver's rate
@@ -132,6 +162,15 @@ def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
             f"(spread {min(rates):.0f}..{max(rates):.0f})",
             file=sys.stderr,
         )
+    if profile:
+        import jax
+
+        trace_dir = os.path.join(os.path.dirname(__file__), ".profile_trace")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(5):
+                _ = int(run(state, o_big).niter)
+        print(f"# jax.profiler trace -> {trace_dir}", file=sys.stderr)
+        _roofline(driver, m, n_struct, block, dtype_name, rate, verbose)
     return rate, n_big
 
 
@@ -164,15 +203,72 @@ def run_bench_batch(batch=1024, m=64, n_struct=64, dtype_name="float32",
     out = run(batched, opts)
     total_piv = int(np.asarray(out.niter).sum())  # host read = barrier
     dt = time.time() - t0
-    optimal = int((np.asarray(out.status) == 1).sum())
+    statuses = np.asarray(out.status)
+    optimal = int((statuses == 1).sum())
     if verbose:
+        from tpulp.core import Status
+
+        hist = {Status.NAMES.get(int(s), str(int(s))): int(c)
+                for s, c in zip(*np.unique(statuses, return_counts=True))}
         print(
             f"# batch {batch}x({m}x{m + n_struct}) {dtype_name}: {dt:.3f}s, "
-            f"{total_piv} pivots, {optimal}/{batch} optimal, "
+            f"{total_piv} pivots, {optimal}/{batch} optimal {hist}, "
             f"{total_piv / dt:.0f} pivots/s, {batch / dt:.0f} LPs/s",
             file=sys.stderr,
         )
     return total_piv / dt, batch / dt
+
+
+def run_bench_milp(n_items=28, batch_size=128, dtype_name="float64",
+                   seed=0, verbose=False):
+    """MILP B&B node throughput (BASELINE config 4): a 0/1 knapsack with
+    ``n_items`` binary variables, solved to proven optimality; reports
+    nodes/s (each node = one LP relaxation in a batched device wave)."""
+    import jax.numpy as jnp
+
+    from tpulp import LinExpr, LinProg
+    from tpulp.milp import solve_milp
+
+    rng = np.random.default_rng(seed)
+    values = [int(v) for v in rng.integers(10, 60, size=n_items)]
+    weights = [int(w) for w in rng.integers(5, 25, size=n_items)]
+    cap = int(sum(weights) * 0.4)
+    lp = LinProg()
+    obj = LinExpr()
+    wexpr = LinExpr()
+    for i, (v, w) in enumerate(zip(values, weights)):
+        lp.addVar(f"x{i}", integral=True, lb=0, ub=1)
+        obj += LinExpr(v, f"x{i}")
+        wexpr += LinExpr(w, f"x{i}")
+    lp.maximize(obj)
+    lp.addConstraint(wexpr.constraintLeq(cap))
+
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
+    # warm: compile the wave executable on a single-node run
+    solve_milp(lp, dtype=dtype, batch_size=batch_size, max_nodes=1)
+    t0 = time.time()
+    sol, stats = solve_milp(lp, dtype=dtype, batch_size=batch_size,
+                            return_stats=True)
+    dt = time.time() - t0
+
+    # DP oracle: the bench is also a correctness gate
+    best = [0] * (cap + 1)
+    for v, w in zip(values, weights):
+        for c in range(cap, w - 1, -1):
+            best[c] = max(best[c], best[c - w] + v)
+    assert sol.status == "optimal" and sol.objective == best[cap], (
+        sol.status, sol.objective, best[cap])
+    if verbose:
+        print(
+            f"# milp knapsack n={n_items} batch={batch_size} {dtype_name}: "
+            f"{dt:.3f}s, {stats.nodes_solved} nodes in {stats.waves} waves, "
+            f"{stats.incumbent_updates} incumbents, "
+            f"{stats.nodes_pruned_bound} bound-pruned, "
+            f"{stats.solo_resolves} solo re-solves, "
+            f"{stats.nodes_solved / dt:.0f} nodes/s",
+            file=sys.stderr,
+        )
+    return stats.nodes_solved / dt, stats.nodes_solved
 
 
 def run_bench_corpus(dtype_name="float32", verbose=False):
@@ -223,7 +319,7 @@ def run_bench_corpus(dtype_name="float32", verbose=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="single",
-                    choices=["single", "batch", "corpus"])
+                    choices=["single", "batch", "corpus", "milp"])
     ap.add_argument("--m", type=int, default=4096)
     ap.add_argument("--n", type=int, default=4096,
                     help="dense structural columns (tableau width = m + n)")
@@ -240,10 +336,13 @@ def main():
     ap.add_argument("--reps", type=int, default=5,
                     help="independent measurements (median reported)")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the timed region "
+                         "and print the HBM roofline check")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
-    if args.dtype == "float64" or args.mode == "corpus":
+    if args.dtype == "float64" or args.mode in ("corpus", "milp"):
         # must happen before any tpulp array is created; corpus mode needs
         # x64 so the precision ladder's f64 rung exists on device
         import jax
@@ -265,6 +364,20 @@ def main():
         }))
         return
 
+    if args.mode == "milp":
+        rate, nodes = run_bench_milp(
+            batch_size=args.batch if args.batch <= 512 else 128,
+            dtype_name="float64", verbose=args.verbose)
+        print(json.dumps({
+            "metric": "MILP B&B node throughput, 28-var 0/1 knapsack to "
+                      "proven optimality (f64 waves + exact incumbents), "
+                      "1 chip",
+            "value": round(rate, 1),
+            "unit": "nodes/s",
+            "vs_baseline": round(rate / 100.0, 4),
+        }))
+        return
+
     target = 1e4
     if args.mode == "batch":
         rate, lps = run_bench_batch(
@@ -282,7 +395,8 @@ def main():
     rate, _ = run_bench(m=args.m, n_struct=args.n, pivots=args.pivots,
                         dtype_name=args.dtype, verbose=args.verbose,
                         driver=args.driver, block=args.block,
-                        repeats=args.repeats, reps=args.reps)
+                        repeats=args.repeats, reps=args.reps,
+                        profile=args.profile)
     print(json.dumps({
         "metric": f"simplex pivot throughput, {args.m}x{args.m + args.n} "
                   f"dense {args.dtype} tableau, 1 chip",

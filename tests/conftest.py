@@ -22,3 +22,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs a reachable TPU (runs compiled Mosaic kernels "
+        "in a subprocess; skipped automatically when absent)")
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running integration tests")

@@ -89,9 +89,12 @@ def make_batched_states(
     for sf, (m, n, n_art) in zip(sfs, dims):
         cp, Ap, bp, hint = _padded_arrays(sf, m_max, n_base)
         st = make_state(cp, Ap, bp, hint, dtype=dtype,
-                        n_extra_art=art_max - n_art)
+                        n_extra_art=art_max - n_art, _numpy=True)
         states.append(st)
-    return stack_states(states)
+    # stack on host, ONE device transfer per leaf (eager per-state transfers
+    # measured as a dominant cost of B&B wave setup)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *states)
+    return jax.tree.map(jnp.asarray, stacked)
 
 
 @functools.lru_cache(maxsize=32)
@@ -120,9 +123,22 @@ def solve_lp_batch(
     options: SolverOptions | None = None,
     dtype=jnp.float64,
     refine: str = "auto",
+    return_state: bool = False,
+    pad_to: int | None = None,
     **opt_overrides,
 ) -> List[Solution]:
-    """Solve a batch of LPs in one device call; one Solution per problem."""
+    """Solve a batch of LPs in one device call; one Solution per problem.
+
+    With ``return_state=True`` returns ``(solutions, out_state, lane_of)``
+    where ``out_state`` is the batched terminal SimplexState and ``lane_of``
+    maps problem index -> lane index (or -1 for trivially-infeasible problems
+    that never reached the device) — the hook the MILP layer uses to run its
+    per-wave integrality check on device.
+
+    ``pad_to`` replicates lane 0 to a fixed batch dimension so repeated
+    callers (B&B waves of varying width) hit ONE compiled executable instead
+    of recompiling per batch size (measured: recompiles were 70% of MILP
+    wall time). Padded lanes run on device but are never extracted."""
     if options is None:
         options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
@@ -134,9 +150,14 @@ def solve_lp_batch(
     solvable = [i for i, sf in enumerate(sfs) if not sf.trivially_infeasible]
     results: List[Solution] = [Solution(status="infeasible")] * len(sfs)
     if not solvable:
-        return results
+        return (results, None, [-1] * len(sfs)) if return_state else results
 
-    batched = make_batched_states([sfs[i] for i in solvable], dtype=dtype)
+    sf_batch = [sfs[i] for i in solvable]
+    if pad_to is not None and len(sf_batch) < pad_to:
+        # replicate the first problem up to the fixed batch width; padded
+        # lanes run on device but are never extracted below
+        sf_batch = sf_batch + [sf_batch[0]] * (pad_to - len(sf_batch))
+    batched = make_batched_states(sf_batch, dtype=dtype)
     out = run_simplex_batch(batched, options)
 
     statuses = np.asarray(out.status)
@@ -157,6 +178,11 @@ def solve_lp_batch(
             basis_cols.append(int(j))
         results[i] = _extract_one(sf, basis_cols, float(-corners[k]),
                                   int(niters[k]), refine, out, k)
+    if return_state:
+        lane_of = [-1] * len(sfs)
+        for k, i in enumerate(solvable):
+            lane_of[i] = k
+        return results, out, lane_of
     return results
 
 
@@ -211,11 +237,18 @@ def _extract_one(sf: StandardForm, basis_cols, z_float, niter, refine,
         return Solution(status="numerical_error", niter=niter)
     # optimality-certificate check (same contract as solve_standard_form):
     # the batch has no per-lane precision ladder, so a failed certificate is
-    # reported as numerical_error for the caller to re-solve solo
+    # reported as numerical_error for the caller to re-solve solo. The
+    # certificate's precision FOLLOWS the refine mode: callers that chose
+    # f64 refinement (e.g. MILP bounding waves, which exact-verify their
+    # incumbents separately) must not pay an O(m^3) rational certificate
+    # per lane.
     from ..solve.refine import exact_basis_certificate, float_basis_certificate
 
+    mode = refine
+    if mode == "auto":
+        mode = "exact" if sf.m <= 192 else "float64"
     try:
-        if sf.m <= 192:
+        if mode == "exact":
             primal_ok, dual_ok = exact_basis_certificate(sf, remapped)
         else:
             primal_ok, dual_ok = float_basis_certificate(sf, remapped)

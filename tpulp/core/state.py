@@ -150,6 +150,7 @@ def make_state(
     basis_hint,
     dtype=jnp.float32,
     n_extra_art: int = 0,
+    _numpy: bool = False,
 ) -> SimplexState:
     """Build the initial device state from standard-form arrays.
 
@@ -159,6 +160,10 @@ def make_state(
 
     ``n_extra_art`` pads additional (inactive) artificial columns so batched
     problems with different artificial counts share one shape.
+
+    ``_numpy=True`` returns numpy leaves instead of device arrays — the
+    batched builder stacks many states on host and does ONE device transfer
+    (per-state eager transfers dominated B&B wave setup).
     """
     import numpy as np
 
@@ -201,6 +206,20 @@ def make_state(
     if phase == 2:
         col_active &= ~art_mask
 
+    if _numpy:
+        np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+        return SimplexState(
+            T=T.astype(np_dtype),
+            basis=basis,
+            col_active=col_active,
+            art_cols=art_mask,
+            phase=np.int32(phase),
+            status=np.int32(Status.RUNNING),
+            niter=np.int32(0),
+            stuck=np.int32(0),
+            bland=np.bool_(False),
+            last_z=np_dtype.type(np.inf),
+        )
     return SimplexState(
         T=jnp.asarray(T, dtype=dtype),
         basis=jnp.asarray(basis),

@@ -49,6 +49,10 @@ class LoweringError(ValueError):
     pass
 
 
+# to_dense c/A cache: (id(A), id(c), dtype) -> (A_ref, c_ref, c_arr, A_arr)
+_DENSE_CA_CACHE: dict = {}
+
+
 @dataclass
 class StandardForm:
     """Equality-form LP with exact rational data.
@@ -85,11 +89,25 @@ class StandardForm:
         return len(self.c)
 
     def to_dense(self, dtype=np.float64):
-        """(c, A, b) as numpy arrays of the requested dtype."""
-        c = np.array([float(v) for v in self.c], dtype=dtype)
-        a = np.array([[float(v) for v in row] for row in self.A], dtype=dtype)
+        """(c, A, b) as numpy arrays of the requested dtype.
+
+        ``c``/``A`` are cached per underlying list object: B&B nodes are
+        ``dataclasses.replace(root, b=...)`` clones SHARING the root's c/A
+        lists, so a 128-node wave densifies the (m x n) Fraction matrix once
+        instead of 128 times (measured: the dominant host cost per wave).
+        Callers must not mutate the returned c/A arrays."""
+        key = (id(self.A), id(self.c), np.dtype(dtype).str)
+        ent = _DENSE_CA_CACHE.get(key)
+        # the cached tuple holds strong refs to the lists, pinning their ids
+        if ent is None or ent[0] is not self.A or ent[1] is not self.c:
+            c = np.array([float(v) for v in self.c], dtype=dtype)
+            a = np.array([[float(v) for v in row] for row in self.A],
+                         dtype=dtype)
+            if len(_DENSE_CA_CACHE) >= 8:
+                _DENSE_CA_CACHE.clear()
+            _DENSE_CA_CACHE[key] = ent = (self.A, self.c, c, a)
         b = np.array([float(v) for v in self.b], dtype=dtype)
-        return c, a, b
+        return ent[2], ent[3], b
 
     def recover_solution(self, x_cols) -> Dict[str, Fraction]:
         """Original variable values from standard-form column values.
