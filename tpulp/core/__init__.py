@@ -3,6 +3,7 @@
 from .state import (
     RULE_BLAND,
     RULE_DANTZIG,
+    RULE_MAX_INCREASE,
     SimplexState,
     SolverOptions,
     Status,
@@ -23,6 +24,7 @@ __all__ = [
     "make_state",
     "RULE_DANTZIG",
     "RULE_BLAND",
+    "RULE_MAX_INCREASE",
     "is_canonical",
     "is_degenerate",
     "is_infeasible_form",

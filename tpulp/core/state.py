@@ -41,10 +41,15 @@ __all__ = [
     "make_state",
     "RULE_DANTZIG",
     "RULE_BLAND",
+    "RULE_MAX_INCREASE",
 ]
 
 RULE_DANTZIG = 0
 RULE_BLAND = 1
+# greatest-improvement pricing (reference findPivotMaxIncrease,
+# /root/reference/lpsol/simplex.py:286-328): scans the whole tableau per
+# pivot — same O(m n) cost class as the pivot itself, opt-in
+RULE_MAX_INCREASE = 2
 
 
 class Status:

@@ -3,6 +3,7 @@
 from .api import Solution, solve_lp, solve_standard_form, state_from_standard_form
 from .driver import (
     extract_solution,
+    find_pivot_all,
     pivot_update,
     run_simplex,
     simplex_step,
@@ -19,6 +20,7 @@ __all__ = [
     "run_simplex_blocked",
     "simplex_step",
     "pivot_update",
+    "find_pivot_all",
     "extract_solution",
     "refine_basis_solution",
     "exact_basis_solve",

@@ -31,6 +31,7 @@ from jax import lax
 
 from ..core.state import (
     RULE_BLAND,
+    RULE_MAX_INCREASE,
     SimplexState,
     SolverOptions,
     Status,
@@ -41,6 +42,7 @@ __all__ = [
     "run_simplex",
     "extract_solution",
     "pivot_update",
+    "find_pivot_all",
 ]
 
 
@@ -126,7 +128,28 @@ def simplex_step(state: SimplexState, opts: SolverOptions,
     use_bland = state.bland | (opts.rule == RULE_BLAND)
     j_dantzig = jnp.argmin(c_eff).astype(jnp.int32)
     j_bland = jnp.min(jnp.where(improving, col_ids, n - 1)).astype(jnp.int32)
-    j_price = jnp.where(use_bland, j_bland, j_dantzig)
+    if opts.rule == RULE_MAX_INCREASE:
+        # greatest-improvement pricing (device form of the reference's
+        # findPivotMaxIncrease, simplex.py:286-328): one full-tableau pass
+        # computes every column's min ratio; decrease_j = -c_j * ratio_j.
+        # An improving column with NO positive entry certifies unboundedness
+        # -> give it +inf decrease so it is selected and the ratio test
+        # reports unbounded this very pivot (the reference does the same).
+        # opts.rule is static, so other rules never pay this scan.
+        Ablock = T[2:, :-1]
+        bcol = T[2:, -1]
+        posA = Ablock > opts.piv_tol
+        ratA = jnp.where(posA, bcol[:, None] / jnp.where(posA, Ablock, 1.0),
+                         inf)
+        ratio_j = jnp.min(ratA, axis=0)                       # (n,)
+        dec = jnp.where(
+            improving,
+            jnp.where(ratio_j < inf, -c_eff * ratio_j, inf),
+            -inf)
+        j_maxinc = jnp.argmax(dec).astype(jnp.int32)
+        j_price = jnp.where(use_bland, j_bland, j_maxinc)
+    else:
+        j_price = jnp.where(use_bland, j_bland, j_dantzig)
 
     # ---- phase bookkeeping scalars ----------------------------------------
     z1 = -T[1, -1]
@@ -261,6 +284,27 @@ def run_simplex(state: SimplexState, opts: SolverOptions | None = None
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
     driver = _compiled_driver(_budget_key(opts), stall_limit)
     return driver(state, jnp.asarray(opts.max_iters, jnp.int32))
+
+
+def find_pivot_all(state: SimplexState, opts: SolverOptions | None = None
+                   ) -> jax.Array:
+    """(m, n) bool mask of EVERY feasibility-preserving pivot: entry (i, j)
+    is True iff pivoting there keeps b >= 0 — i.e. column j's positive
+    entries' min-ratio tie set. Device form of the reference's teaching /
+    degeneracy-exploration tool ``findPivotAll``
+    (/root/reference/lpsol/simplex.py:330-360), computed in one vectorized
+    pass instead of a per-column scan. Inactive columns are all-False."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(state.T.dtype)
+    T = state.T
+    inf = jnp.asarray(jnp.inf, T.dtype)
+    Ablock = T[2:, :-1]
+    b = T[2:, -1]
+    pos = Ablock > opts.piv_tol
+    rat = jnp.where(pos, b[:, None] / jnp.where(pos, Ablock, 1.0), inf)
+    min_ratio = jnp.min(rat, axis=0)                          # (n,)
+    mask = pos & (rat <= min_ratio[None, :]) & (min_ratio[None, :] < inf)
+    return mask & state.col_active[None, :]
 
 
 def extract_solution(state: SimplexState):
