@@ -237,3 +237,29 @@ class TestShardedBlocked:
             out = from_sharded_state(out_sh, st.n)
             assert int(out.status) == int(ref.status), p
             assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+
+
+class TestBatchGspmd2D:
+    """FULL solve under the 2D (batch, cols) GSPMD layout — round-1 weak
+    item 7: the dryrun only ran one step at 2D; this pins lane-wise parity
+    of the complete batched solve against the single-device driver."""
+
+    def test_full_solve_matches_single(self):
+        from jax.sharding import Mesh
+        from tpulp.batch import stack_states
+        from tpulp.shard.sharded import run_simplex_batch_gspmd
+
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh2d = Mesh(devs, ("batch", "cols"))
+        # width must divide the cols axis: m=10, n=21 -> n_tot+1 = 32
+        states = [random_dense_state(s, m=10, n=21) for s in range(4)]
+        refs = [run_simplex(st) for st in states]
+        batched = stack_states(states)
+        out = run_simplex_batch_gspmd(batched, mesh2d)
+        for k, ref in enumerate(refs):
+            assert int(out.status[k]) == int(ref.status), k
+            assert int(out.niter[k]) == int(ref.niter), k
+            z = float(-out.T[k, 0, -1])
+            assert abs(z - float(ref.objective())) < 1e-8, k
+            assert np.array_equal(np.asarray(out.basis[k]),
+                                  np.asarray(ref.basis)), k

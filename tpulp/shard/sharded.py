@@ -42,6 +42,7 @@ from ..solve.driver import _compiled_driver
 __all__ = [
     "shard_state",
     "run_simplex_gspmd",
+    "run_simplex_batch_gspmd",
     "ShardedState",
     "to_sharded_state",
     "from_sharded_state",
@@ -129,6 +130,60 @@ def run_simplex_gspmd(
         out_shardings=shardings,
     )
     return fn(state, jnp.asarray(opts.max_iters, jnp.int32))
+
+
+def batch_state_sharding(mesh: Mesh, batch_axis: str = "batch",
+                         cols_axis: str = "cols") -> SimplexState:
+    """NamedShardings for a BATCHED state on a 2D (batch, cols) mesh — the
+    LP domain's (dp, tp) layout: independent problems split over the batch
+    axis, each problem's tableau columns split over the cols axis."""
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return SimplexState(
+        T=ns(batch_axis, None, cols_axis),
+        basis=ns(batch_axis),
+        col_active=ns(batch_axis),
+        art_cols=ns(batch_axis),
+        phase=ns(batch_axis),
+        status=ns(batch_axis),
+        niter=ns(batch_axis),
+        stuck=ns(batch_axis),
+        bland=ns(batch_axis),
+        last_z=ns(batch_axis),
+    )
+
+
+def run_simplex_batch_gspmd(
+    batched: SimplexState,
+    mesh: Mesh,
+    opts: SolverOptions | None = None,
+    batch_axis: str = "batch",
+    cols_axis: str = "cols",
+) -> SimplexState:
+    """FULL batched solve under the 2D (batch, cols) GSPMD layout.
+
+    The vmapped single-problem driver is jitted with dp x tp shardings and
+    XLA inserts the cross-shard collectives (pricing argmin, entering-column
+    gather) along the cols axis per lane. The batch dimension and the
+    tableau width (n+1) must divide their mesh axes; ``shard_state``-style
+    column padding is the caller's job (see tests)."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(batched.T.dtype)
+    from ..solve.driver import _budget_key
+
+    m = batched.T.shape[1] - 2
+    n = batched.T.shape[2] - 1
+    stall_limit = opts.resolved_stall_limit(m, n)
+    single = _compiled_driver.__wrapped__(_budget_key(opts), stall_limit)
+    shardings = batch_state_sharding(mesh, batch_axis, cols_axis)
+    fn = jax.jit(
+        jax.vmap(single, in_axes=(0, None)),
+        in_shardings=(shardings, NamedSharding(mesh, P())),
+        out_shardings=shardings,
+    )
+    batched = jax.tree.map(jax.device_put, batched, shardings)
+    return fn(batched, jnp.asarray(opts.max_iters, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
