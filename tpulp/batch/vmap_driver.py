@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,7 @@ __all__ = [
     "make_batched_states",
     "run_simplex_batch",
     "solve_lp_batch",
+    "extract_batch_solutions",
 ]
 
 
@@ -160,24 +161,10 @@ def solve_lp_batch(
     batched = make_batched_states(sf_batch, dtype=dtype)
     out = run_simplex_batch(batched, options)
 
-    statuses = np.asarray(out.status)
-    niters = np.asarray(out.niter)
-    bases = np.asarray(out.basis)
-    corners = np.asarray(out.T[:, 0, -1])
-    n_base = None
+    extracted = extract_batch_solutions(
+        [sfs[i] for i in solvable], out, refine)
     for k, i in enumerate(solvable):
-        sf = sfs[i]
-        status = Status.NAMES.get(int(statuses[k]), "unknown")
-        if status != "optimal":
-            results[i] = Solution(status=status, niter=int(niters[k]))
-            continue
-        # map batched column indices back to this problem's own space:
-        # cols < sf.n are structural; pad slacks & artificials -> unit rows
-        basis_cols = []
-        for j in bases[k]:
-            basis_cols.append(int(j))
-        results[i] = _extract_one(sf, basis_cols, float(-corners[k]),
-                                  int(niters[k]), refine, out, k)
+        results[i] = extracted[k]
     if return_state:
         lane_of = [-1] * len(sfs)
         for k, i in enumerate(solvable):
@@ -186,9 +173,41 @@ def solve_lp_batch(
     return results
 
 
+def extract_batch_solutions(sfs: Sequence[StandardForm], out: SimplexState,
+                            refine: str) -> List[Solution]:
+    """One Solution per StandardForm from the terminal batched state; lane k
+    corresponds to ``sfs[k]`` (trailing padded lanes are ignored)."""
+    # ONE host fetch per leaf: per-lane device reads would each pay a full
+    # device->host roundtrip (over the tunneled TPU, 128 lanes x ~10ms
+    # dominated MILP wave time)
+    statuses = np.asarray(out.status)
+    niters = np.asarray(out.niter)
+    bases = np.asarray(out.basis)
+    corners = np.asarray(out.T[:, 0, -1])
+    art_cols_np = np.asarray(out.art_cols)
+    rhs_np = np.asarray(out.T[:, 2:, -1]) if refine == "none" else None
+    results: List[Solution] = []
+    for k, sf in enumerate(sfs):
+        status = Status.NAMES.get(int(statuses[k]), "unknown")
+        if status != "optimal":
+            results.append(Solution(status=status, niter=int(niters[k])))
+            continue
+        # map batched column indices back to this problem's own space:
+        # cols < sf.n are structural; pad slacks & artificials -> unit rows
+        basis_cols = [int(j) for j in bases[k]]
+        results.append(_extract_one(
+            sf, basis_cols, float(-corners[k]), int(niters[k]), refine,
+            art_cols_np[k], None if rhs_np is None else rhs_np[k]))
+    return results
+
+
 def _extract_one(sf: StandardForm, basis_cols, z_float, niter, refine,
-                 batched, lane) -> Solution:
-    """Refine + recover one lane's solution (host side)."""
+                 art_cols_lane: np.ndarray,
+                 rhs_lane: Optional[np.ndarray]) -> Solution:
+    """Refine + recover one lane's solution (host side).
+
+    ``art_cols_lane``/``rhs_lane`` are this lane's rows of the already-
+    fetched host copies (see extract_batch_solutions)."""
     from ..model.prog import MAX
 
     m = sf.m
@@ -199,9 +218,9 @@ def _extract_one(sf: StandardForm, basis_cols, z_float, niter, refine,
     # ([0, sf.n)); anything >= sf.n is a pad slack or artificial. Artificials
     # of THIS problem start at n_base in the batched layout but at sf.n in
     # refine's convention, so remap them.
-    n_batched = batched.T.shape[2] - 1
-    art_start_batched = int(np.asarray(batched.art_cols[lane]).argmax()) \
-        if bool(np.asarray(batched.art_cols[lane]).any()) else n_batched
+    n_batched = art_cols_lane.shape[0]
+    art_start_batched = int(art_cols_lane.argmax()) \
+        if bool(art_cols_lane.any()) else n_batched
     remapped = []
     for j in basis:
         if j < sf.n:
@@ -218,7 +237,7 @@ def _extract_one(sf: StandardForm, basis_cols, z_float, niter, refine,
         z_min = z_float + float(sf.obj_const)
         obj = -z_min if sf.sense == MAX else z_min
         # recover x from the float tableau directly
-        b = np.asarray(batched.T[lane, 2:, -1])[:m]
+        b = rhs_lane[:m]
         vals = {}
         for k2, j in enumerate(remapped):
             if j < sf.n:

@@ -45,7 +45,11 @@ from ..model.lower import StandardForm, lower_to_standard_form
 from ..model.prog import LinProg
 from ..solve.api import Solution, solve_standard_form
 from ..solve.refine import exact_basis_solve
-from ..batch.vmap_driver import solve_lp_batch
+from ..batch.vmap_driver import (
+    extract_batch_solutions,
+    make_batched_states,
+    run_simplex_batch,
+)
 
 __all__ = ["solve_milp", "BnbStats"]
 
@@ -85,7 +89,21 @@ def _most_fractional(values: Dict[str, Fraction]) -> Optional[str]:
     return best
 
 
-@functools.partial(jax.jit, static_argnums=())
+@jax.jit
+def _refresh_template(template, b_mat, art_row_mask):
+    """Rewrite a device-resident batched template with per-lane RHS vectors.
+
+    B&B nodes share the root's ENTIRE tableau except the b column (and the
+    phase-1 objective corner, which is -sum of b over artificial rows) — so
+    a wave upload is the (B, m) b matrix (~KBs) instead of the full batched
+    state (~MBs, which over the tunneled TPU dominated wave time)."""
+    T = template.T.at[:, 2:, -1].set(b_mat)
+    z1 = -(b_mat * art_row_mask[None, :]).sum(axis=1)
+    T = T.at[:, 1, -1].set(z1)
+    return template._replace(T=T)
+
+
+@jax.jit
 def _wave_int_check(T, basis, R, const):
     """Device integrality check, one vmapped pass over the wave.
 
@@ -187,6 +205,7 @@ def solve_milp(
     incumbent_z: Optional[Fraction] = None  # minimization value, EXACT
     root_unbounded = False
     R = const = None  # device recover map, built once shapes are known
+    template = art_row_mask = None  # device-resident batched wave template
 
     def prune_margin() -> float:
         """Safety margin for float-mode pruning: only prune when the f64
@@ -231,9 +250,24 @@ def solve_milp(
             break
 
         sfs = [_node_standard_form(root_sf, bounds) for _, bounds in wave]
-        sols, out, lane_of = solve_lp_batch(
-            sfs, options=options, dtype=dtype, refine=refine,
-            return_state=True, pad_to=batch_size)
+        # device-resident template: nodes differ from the root ONLY in b, so
+        # a wave uploads just the (B, m) RHS matrix and a jitted refresh
+        # rewrites the batched state in place on device
+        if template is None:
+            template = make_batched_states([sfs[0]] * batch_size, dtype=dtype)
+            art_row_mask = jnp.asarray(
+                np.array([1.0 if h < 0 else 0.0
+                          for h in root_sf.basis_hint]), template.T.dtype)
+        b_mat = np.empty((batch_size, root_sf.m), dtype=np.float64)
+        for k, sf in enumerate(sfs):
+            b_mat[k] = [float(v) for v in sf.b]
+        b_mat[len(sfs):] = b_mat[0]
+        batched = _refresh_template(
+            template, jnp.asarray(b_mat, dtype=template.T.dtype),
+            art_row_mask)
+        out = run_simplex_batch(batched, options)
+        sols = extract_batch_solutions(sfs, out, refine)
+        lane_of = list(range(len(sfs)))
         stats.nodes_solved += len(wave)
         stats.waves += 1
 
