@@ -57,6 +57,17 @@ s2 = int(jax.device_get(out2.status))
 assert status == Status.OPTIMAL, status
 assert s2 == Status.OPTIMAL, s2
 assert abs(z - z2) < 1e-8, (z, z2)
+
+# the TRUE multi-host layout: tuple axis over the (hosts, cols) hybrid mesh
+# (column split host-major; intra-host collectives ride ICI, only the final
+# reductions cross hosts — here gloo, on a pod DCN)
+ax = ("hosts", "cols")
+out3 = run_simplex_sharded(
+    to_sharded_state(st, mesh2d, axis=ax), mesh2d, axis=ax)
+z3 = -float(jax.device_get(out3.rhs)[0])
+s3 = int(jax.device_get(out3.status))
+assert s3 == Status.OPTIMAL, s3
+assert abs(z - z3) < 1e-8, (z, z3)
 if pid == 0:
     print(f"RESULT obj={z:.12f}", flush=True)
 """

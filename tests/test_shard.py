@@ -263,3 +263,61 @@ class TestBatchGspmd2D:
             assert abs(z - float(ref.objective())) < 1e-8, k
             assert np.array_equal(np.asarray(out.basis[k]),
                                   np.asarray(ref.basis)), k
+
+
+class TestHybridMesh:
+    """(hosts, cols) hybrid layout: the column dimension split host-major
+    over BOTH mesh axes (tuple axis names through every collective) — the
+    multi-host form where intra-host collectives ride ICI and only the
+    final reductions cross DCN."""
+
+    def _bounded_state(self, seed=1, m=24, n=48):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(m, n))
+        x0 = np.abs(rng.normal(size=n))
+        b = A @ x0 + np.abs(rng.normal(size=m))
+        c = rng.normal(size=n)
+        A[-1] = 1.0
+        b[-1] = 2.0 * x0.sum()  # bounded polytope: OPTIMAL guaranteed
+        from tpulp.core import make_state
+
+        Afull = np.concatenate([A, np.eye(m)], axis=1)
+        cfull = np.concatenate([c, np.zeros(m)])
+        return make_state(cfull, Afull, b, list(range(n, n + m)),
+                          dtype=jnp.float64)
+
+    def test_rank1_pivot_parity(self):
+        from jax.sharding import Mesh
+
+        st = self._bounded_state()
+        ref = run_simplex(st)
+        mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                      ("hosts", "cols"))
+        ax = ("hosts", "cols")
+        out = from_sharded_state(
+            run_simplex_sharded(to_sharded_state(st, mesh2d, axis=ax),
+                                mesh2d, axis=ax), st.n)
+        assert int(out.status) == Status.OPTIMAL == int(ref.status)
+        assert int(out.niter) == int(ref.niter)
+        assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+        assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+
+    def test_blocked_matches_flat_mesh(self):
+        from jax.sharding import Mesh
+
+        st = self._bounded_state(seed=2)
+        mesh2d = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                      ("hosts", "cols"))
+        ax = ("hosts", "cols")
+        out2d = from_sharded_state(
+            run_simplex_sharded_blocked(
+                to_sharded_state(st, mesh2d, axis=ax), mesh2d, block=8,
+                axis=ax), st.n)
+        flat = make_mesh(8)
+        outf = from_sharded_state(
+            run_simplex_sharded_blocked(
+                to_sharded_state(st, flat), flat, block=8), st.n)
+        assert int(out2d.status) == int(outf.status)
+        assert int(out2d.niter) == int(outf.niter)
+        assert np.array_equal(np.asarray(out2d.basis),
+                              np.asarray(outf.basis))

@@ -62,6 +62,16 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "cols") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def _axis_size(mesh: Mesh, axis) -> int:
+    """Total shard count along ``axis`` (a mesh axis name or tuple of names —
+    the tuple form is the multi-host (hosts, cols) hybrid layout, where the
+    column dimension is split host-major so per-host blocks are contiguous
+    and intra-host collectives ride ICI)."""
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    return int(np.prod([mesh.shape[a] for a in axis]))
+
+
 def state_sharding(mesh: Mesh, axis: str = "cols") -> SimplexState:
     """NamedShardings for each SimplexState leaf: the tableau is sharded on
     the column axis; the (n,)-bool masks stay replicated (their width n and
@@ -90,7 +100,7 @@ def shard_state(state: SimplexState, mesh: Mesh, axis: str = "cols"
 
     Pads the column count to a multiple of the axis size (padded columns are
     zero, costless and inactive, so they never enter pricing)."""
-    p = mesh.shape[axis]
+    p = _axis_size(mesh, axis)
     n = state.n
     # T's trailing RHS column makes the padded width n+1+pad; sharding evenly
     # requires (n+1+pad) % p == 0
@@ -211,8 +221,9 @@ class ShardedState(NamedTuple):
 def to_sharded_state(state: SimplexState, mesh: Mesh, axis: str = "cols"
                      ) -> ShardedState:
     """Split a SimplexState and place it on the mesh (pads columns to a
-    multiple of the axis size)."""
-    p = mesh.shape[axis]
+    multiple of the axis size). ``axis`` may be a tuple of mesh axis names
+    (the multi-host hybrid layout)."""
+    p = _axis_size(mesh, axis)
     n = state.n
     pad = (-n) % p
     T = state.T[:, :-1]
