@@ -209,3 +209,35 @@ class TestMilpScale:
         sol = solve_milp(lp, refine="auto", exact_max_m=1)
         assert sol.status == "optimal"
         assert sol.objective == 21
+
+
+class TestMilpCheckpointResume:
+    def test_interrupt_and_resume_reaches_optimum(self, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        n = 18
+        values = [int(v) for v in rng.integers(10, 60, size=n)]
+        weights = [int(w) for w in rng.integers(5, 25, size=n)]
+        cap = int(sum(weights) * 0.4)
+        lp = knapsack(values, weights, cap)
+        oracle = solve_milp(lp, batch_size=64).objective
+
+        ck = str(tmp_path / "bnb.json")
+        # phase 1: tiny node budget with per-wave checkpointing -> interrupted
+        partial = solve_milp(lp, batch_size=8, max_nodes=16,
+                             checkpoint_path=ck)
+        assert partial.status in ("node_limit", "optimal")
+        # phase 2: resume from the checkpoint and run to completion
+        sol = solve_milp(lp, batch_size=64, resume_from=ck)
+        assert sol.status == "optimal"
+        assert sol.objective == oracle
+
+    def test_resume_carries_incumbent(self, tmp_path):
+        lp = knapsack([10, 13, 7, 8, 9, 12], [5, 6, 4, 3, 5, 7], 13)
+        ck = str(tmp_path / "bnb.json")
+        partial = solve_milp(lp, batch_size=4, max_nodes=6,
+                             checkpoint_path=ck)
+        sol = solve_milp(lp, resume_from=ck)
+        assert sol.status == "optimal"
+        assert sol.objective == solve_milp(lp).objective

@@ -146,9 +146,17 @@ def solve_milp(
     exact_max_m: int = 32,
     int_tol: float = 1e-6,
     return_stats: bool = False,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume_from: Optional[str] = None,
     **opt_overrides,
 ):
     """Solve a mixed-integer LinProg by branch-and-bound.
+
+    ``checkpoint_path`` persists the frontier + incumbent after every
+    ``checkpoint_every`` waves (exact 'p/q' JSON, tpulp.io.checkpoint);
+    ``resume_from`` restarts from such a file — the device analogue of the
+    reference's load-then-construct resume (SURVEY §5 checkpoint/resume).
 
     Returns a Solution (status optimal / infeasible / unbounded / node_limit)
     in the original sense/variables; with ``return_stats=True`` returns
@@ -198,11 +206,42 @@ def solve_milp(
     # frontier: (parent LP bound as float, tiebreak, exact bound, bounds dict)
     counter = itertools.count()
     frontier: List[Tuple[float, int, Fraction, Bounds]] = []
-    heapq.heappush(
-        frontier, (-1e18, next(counter), Fraction(-10**18), root_bounds))
-
     incumbent: Optional[Solution] = None
     incumbent_z: Optional[Fraction] = None  # minimization value, EXACT
+
+    if resume_from is not None:
+        from ..io.checkpoint import load_bnb_frontier
+
+        loaded, incumbent_z, ck_meta = load_bnb_frontier(resume_from)
+        counter = itertools.count(
+            start=1 + max((tb for _, tb, _ in loaded), default=0))
+        for bound, tb, bounds in loaded:
+            heapq.heappush(frontier, (float(bound), tb, bound, bounds))
+        inc = ck_meta.get("incumbent")
+        if inc is not None:
+            incumbent = Solution(
+                status="optimal",
+                objective=Fraction(inc["objective"]),
+                x={k: Fraction(v) for k, v in inc["x"].items()},
+                objective_min=Fraction(inc["objective_min"]))
+    else:
+        heapq.heappush(
+            frontier, (-1e18, next(counter), Fraction(-10**18), root_bounds))
+
+    def _checkpoint():
+        from ..io.checkpoint import save_bnb_frontier
+
+        meta = {"nodes_solved": stats.nodes_solved}
+        if incumbent is not None:
+            meta["incumbent"] = {
+                "objective": str(Fraction(incumbent.objective)),
+                "objective_min": str(Fraction(incumbent.objective_min)),
+                "x": {k: str(Fraction(v)) for k, v in incumbent.x.items()},
+            }
+        save_bnb_frontier(
+            checkpoint_path,
+            [(bound, tb, bounds) for _, tb, bound, bounds in frontier],
+            incumbent_z, meta=meta)
     root_unbounded = False
     R = const = None  # device recover map, built once shapes are known
     template = art_row_mask = None  # device-resident batched wave template
@@ -358,6 +397,10 @@ def solve_milp(
                     (zf, next(counter),
                      z if exact_mode else Fraction(zf).limit_denominator(10**12),
                      child))
+
+        if checkpoint_path is not None and \
+                stats.waves % max(checkpoint_every, 1) == 0:
+            _checkpoint()
 
     if root_unbounded:
         sol = Solution(status="unbounded")
