@@ -25,7 +25,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def make_bench_state(m, n_struct, dtype, seed=0):
+def make_bench_state(m, n_struct, dtype, seed=0, bounded=False,
+                     _numpy=False):
     import jax.numpy as jnp
 
     from tpulp.core import make_state
@@ -35,10 +36,16 @@ def make_bench_state(m, n_struct, dtype, seed=0):
     x0 = np.abs(rng.normal(size=n_struct))
     b = D @ x0 + np.abs(rng.normal(size=m))  # strictly feasible w/ slack room
     c = rng.normal(size=n_struct)
+    if bounded:
+        # replace the last row with sum(x) <= 2 sum(x0): the polytope becomes
+        # bounded, so every lane terminates OPTIMAL (with a free-sign c,
+        # ~half of the unmodified instances are genuinely unbounded)
+        D[-1] = 1.0
+        b[-1] = 2.0 * x0.sum()
     A = np.concatenate([D, np.eye(m)], axis=1)
     cfull = np.concatenate([c, np.zeros(m)])
     hint = list(range(n_struct, n_struct + m))
-    return make_state(cfull, A, b, hint, dtype=dtype)
+    return make_state(cfull, A, b, hint, dtype=dtype, _numpy=_numpy)
 
 
 def parity_check():
@@ -181,15 +188,19 @@ def run_bench_batch(batch=1024, m=64, n_struct=64, dtype_name="float32",
     import jax
     import jax.numpy as jnp
 
-    from tpulp.batch import run_simplex_batch, stack_states
+    from tpulp.batch import run_simplex_batch
     from tpulp.core import SolverOptions
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
+    # build on host, stack, ONE device transfer per leaf: 1024 per-state
+    # eager transfers over the tunnel took minutes
     states = [
-        make_bench_state(m, n_struct, dtype, seed=seed + i)
+        make_bench_state(m, n_struct, dtype, seed=seed + i, bounded=True,
+                         _numpy=True)
         for i in range(batch)
     ]
-    batched = stack_states(states)
+    batched = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *states)
+    batched = jax.tree.map(jnp.asarray, batched)
     _ = float(batched.T[0, 0, 0])
     opts = SolverOptions.for_dtype(dtype, max_iters=max_iters)
 
