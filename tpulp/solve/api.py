@@ -51,6 +51,10 @@ class Solution:
     objective_min: Optional[Union[float, Fraction]] = None
     col_values: Optional[Dict[int, Any]] = None
     basis: Optional[list] = None
+    # row duals (shadow prices) in the MINIMIZATION sense, one per
+    # standard-form row; populated when the solve is asked for them
+    # (solve_lp(..., duals=True))
+    y: Optional[list] = None
 
     @property
     def is_optimal(self) -> bool:
@@ -110,6 +114,7 @@ def solve_standard_form(
     dtype=jnp.float64,
     refine: str = "auto",
     fallback: str = "auto",
+    duals: bool = False,
     _depth: int = 0,
 ) -> Solution:
     """Solve a lowered StandardForm on the device path.
@@ -140,8 +145,14 @@ def solve_standard_form(
                 degen_tol=options.degen_tol, stall_limit=options.stall_limit)
             return solve_standard_form(
                 sf, options=opts64, dtype=jnp.float64, refine=refine,
-                fallback=fallback, _depth=1)
-        return solve_standard_form_host(sf)
+                fallback=fallback, duals=duals, _depth=1)
+        out_host = solve_standard_form_host(sf)
+        if duals and out_host.status == "optimal":
+            from .refine import basis_duals
+
+            out_host = dataclasses.replace(
+                out_host, y=basis_duals(sf, out_host.basis))
+        return out_host
 
     if status == "numerical_error":
         return _escalate()
@@ -200,6 +211,12 @@ def solve_standard_form(
             val = val + coeff * colval(col)
         x[name] = val
     obj = -z_min if sf.sense == MAX else z_min
+    y = None
+    if duals:
+        from .refine import basis_duals
+
+        mode = "float64" if refine == "none" else refine
+        y = basis_duals(sf, basis, mode=mode)
     return Solution(
         status="optimal",
         objective=obj,
@@ -208,6 +225,7 @@ def solve_standard_form(
         objective_min=z_min,
         col_values=dict(col_values),
         basis=basis,
+        y=y,
     )
 
 
@@ -217,16 +235,19 @@ def solve_lp(
     dtype=jnp.float64,
     refine: str = "auto",
     fallback: str = "auto",
+    duals: bool = False,
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
 
     ``opt_overrides`` are SolverOptions field overrides, e.g.
-    ``solve_lp(lp, max_iters=500, rule=RULE_BLAND)``."""
+    ``solve_lp(lp, max_iters=500, rule=RULE_BLAND)``. ``duals=True`` also
+    reports the row duals (shadow prices, minimization sense) in
+    ``Solution.y`` — exact Fractions when refinement is exact."""
     if options is None:
         options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
     sf = prog if isinstance(prog, StandardForm) else lower_to_standard_form(prog)
     return solve_standard_form(sf, options=options, dtype=dtype,
-                               refine=refine, fallback=fallback)
+                               refine=refine, fallback=fallback, duals=duals)

@@ -25,6 +25,7 @@ from ..model.lower import StandardForm
 __all__ = [
     "refine_basis_solution",
     "exact_basis_solve",
+    "basis_duals",
     "exact_basis_certificate",
     "float_basis_certificate",
 ]
@@ -139,6 +140,39 @@ def exact_basis_solve(sf: StandardForm, basis: Sequence[int]
         # artificial basics contribute nothing (value must be 0 for a
         # feasible basis; callers may check)
     return values, z
+
+
+def basis_duals(sf: StandardForm, basis: Sequence[int], mode: str = "exact",
+                exact_max_m: int = 192):
+    """Row duals (shadow prices) of a basis: ``y = B^-T c_B``.
+
+    ``y[i]`` is the marginal change of the minimization objective per unit
+    increase of ``b[i]`` while the basis stays optimal — the standard
+    sensitivity output the reference never exposed. ``mode`` as in
+    ``refine_basis_solution``: 'exact' (Fractions), 'float64', or 'auto'.
+    Raises ZeroDivisionError on a singular basis."""
+    if mode == "auto":
+        mode = "exact" if sf.m <= exact_max_m else "float64"
+    m = sf.m
+    if mode == "exact":
+        cols = _basis_columns_exact(sf, basis)
+        cb = [sf.c[int(j)] if int(j) < sf.n else ZERO for j in basis]
+        bt_cols = [[cols[k][i] for k in range(m)] for i in range(m)]
+        return _exact_gauss_solve(bt_cols, cb)
+    if mode != "float64":
+        raise ValueError(f"unknown duals mode {mode!r}")
+    c64, A64, _ = sf.to_dense(np.float64)
+    art_rows = _artificial_row_map(sf)
+    B = np.zeros((m, m))
+    cb = np.zeros(m)
+    for k, j in enumerate(basis):
+        j = int(j)
+        if j < sf.n:
+            B[:, k] = A64[:, j]
+            cb[k] = c64[j]
+        else:
+            B[art_rows[j - sf.n], k] = 1.0
+    return list(np.linalg.solve(B.T, cb))
 
 
 def exact_basis_certificate(sf: StandardForm, basis: Sequence[int]
