@@ -16,9 +16,14 @@ import sys
 
 
 def _cmd_solve(args) -> int:
-    from .model.serialize import load_prog
+    if args.file.lower().endswith(".mps"):
+        from .io.mps import read_mps
 
-    prog = load_prog(args.file)
+        prog = read_mps(args.file)
+    else:
+        from .model.serialize import load_prog
+
+        prog = load_prog(args.file)
     if args.exact and not prog.isMixedInteger():
         from .simplex import Simplex
         from .tableau import Tableau

@@ -7,6 +7,7 @@ from .state import (
     SimplexState,
     SolverOptions,
     Status,
+    canonical_dtype,
     make_state,
 )
 from .predicates import (
@@ -21,6 +22,7 @@ __all__ = [
     "SimplexState",
     "SolverOptions",
     "Status",
+    "canonical_dtype",
     "make_state",
     "RULE_DANTZIG",
     "RULE_BLAND",

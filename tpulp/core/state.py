@@ -29,6 +29,7 @@ static-shape compilation model (SURVEY.md §7 "hard parts"):
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -111,7 +112,9 @@ class SolverOptions:
     def for_dtype(cls, dtype, **overrides) -> "SolverOptions":
         """Defaults scaled to the iterate precision: f32 needs much looser
         pivot/optimality tolerances than f64 (f32 eps ~1.2e-7)."""
-        name = jnp.dtype(dtype).name
+        # canonicalize first: under a no-x64 session a float64 request
+        # truncates to f32 iterates, which need the f32 tolerances
+        name = canonical_dtype(dtype).name
         if name == "float32":
             base = dict(opt_tol=1e-5, piv_tol=1e-5, infeas_tol=1e-4)
         else:
@@ -148,6 +151,18 @@ class SimplexState(NamedTuple):
         return -self.T[0, -1]
 
 
+def canonical_dtype(dtype):
+    """The dtype JAX will actually use for ``dtype`` in this session.
+
+    When x64 is disabled an explicit float64 request silently becomes
+    float32 (the precision-ladder paths rely on this truncation); resolving
+    it once here keeps jnp's per-array truncation UserWarning out of bench
+    artifacts and user logs."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return jnp.zeros((), dtype).dtype
+
+
 def make_state(
     c,
     A,
@@ -172,6 +187,7 @@ def make_state(
     """
     import numpy as np
 
+    dtype = canonical_dtype(dtype)
     c = np.asarray(c, dtype=np.float64)
     A = np.asarray(A, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)

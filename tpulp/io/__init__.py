@@ -7,6 +7,7 @@ schema doubles as a lossless checkpoint format (SURVEY.md §5 checkpoint/resume)
 
 from .render import render_grid, render_text, render_latex, render_csv
 from .grid import parse_grid, format_grid
+from .mps import read_mps, read_mps_string, write_mps, write_mps_string
 
 __all__ = [
     "render_grid",
@@ -15,4 +16,8 @@ __all__ = [
     "render_csv",
     "parse_grid",
     "format_grid",
+    "read_mps",
+    "read_mps_string",
+    "write_mps",
+    "write_mps_string",
 ]

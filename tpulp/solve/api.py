@@ -15,7 +15,8 @@ from typing import Any, Dict, Optional, Union
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.state import SimplexState, SolverOptions, Status, make_state
+from ..core.state import (SimplexState, SolverOptions, Status,
+                          canonical_dtype, make_state)
 from ..model.lower import StandardForm, lower_to_standard_form
 from ..model.prog import MAX, LinProg
 from .driver import extract_solution, run_simplex
@@ -137,7 +138,7 @@ def solve_standard_form(
     def _escalate() -> Solution:
         if fallback == "none" or _depth >= 2:
             return Solution(status="numerical_error", niter=niter)
-        have_f64 = jnp.zeros((), jnp.float64).dtype == jnp.dtype(np.float64)
+        have_f64 = canonical_dtype(jnp.float64) == jnp.dtype(np.float64)
         if (_depth == 0 and have_f64
                 and state.T.dtype != jnp.dtype(np.float64)):
             opts64 = SolverOptions.for_dtype(
