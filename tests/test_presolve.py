@@ -1,0 +1,180 @@
+"""Exact presolve tests: reductions must never change the optimum.
+
+Oracle style follows the reference's exact-objective goldens
+(lpsol/test_tableau.py:7-8); every reduced program is re-solved and compared
+against the unpresolved solve (both exact via the refinement ladder).
+"""
+
+from fractions import Fraction
+
+from tpulp.model import MAX, LinCon, LinExpr, LinProg
+from tpulp.model.presolve import presolve, solve_with_presolve
+
+
+def _textbook() -> LinProg:
+    lp = LinProg()
+    lp.addVar("x1")
+    lp.addVar("x2")
+    lp.maximize(LinExpr(40, "x1", 30, "x2"))
+    lp.addConstraint(LinExpr(1, "x1", 1, "x2").constraintLeq(12))
+    lp.addConstraint(LinExpr(2, "x1", 1, "x2").constraintLeq(16))
+    return lp
+
+
+def test_noop_on_irreducible_program():
+    lp = _textbook()
+    res = presolve(lp)
+    assert res.status is None
+    assert res.fixed == {}
+    assert res.removed_rows == 0 and res.removed_vars == 0
+    assert solve_with_presolve(lp).objective == 400
+
+
+def test_fixed_variable_substituted():
+    lp = _textbook()
+    lp.addVar("x3", lb=5, ub=5)
+    lp.objective.expr += LinExpr(2, "x3")
+    res = presolve(lp)
+    assert res.fixed == {"x3": 5}
+    assert "x3" not in res.prog.vars
+    sol = solve_with_presolve(lp)
+    assert sol.objective == 410
+    assert sol.x["x3"] == 5 and sol.x["x1"] == 4
+
+
+def test_singleton_row_becomes_bound():
+    lp = _textbook()
+    lp.addConstraint(LinExpr(2, "x1").constraintLeq(6))  # x1 <= 3
+    res = presolve(lp)
+    assert res.removed_rows == 1
+    assert res.prog.vars["x1"].ub == 3
+    # re-solve: optimum moves to x1=3, x2=9 -> 40*3+30*9 = 390
+    assert solve_with_presolve(lp).objective == 390
+
+
+def test_singleton_equality_fixes_and_cascades():
+    lp = _textbook()
+    lp.addConstraint(LinExpr(1, "x1").constrantEq(4))    # ref typo alias
+    res = presolve(lp)
+    assert res.fixed.get("x1") == 4
+    assert "x1" not in res.prog.vars
+    sol = solve_with_presolve(lp)
+    assert sol.objective == 400 and sol.x["x1"] == 4
+
+
+def test_empty_row_checked():
+    lp = _textbook()
+    lp.addConstraint(LinCon(LinExpr(0), "<=", LinExpr(1)))   # 0 <= 1 ok
+    assert presolve(lp).status is None
+    lp.addConstraint(LinCon(LinExpr(3), "<=", LinExpr(1)))   # 3 <= 1 bad
+    assert presolve(lp).status == "infeasible"
+
+
+def test_bound_conflict_infeasible():
+    lp = _textbook()
+    lp.addConstraint(LinExpr(1, "x1").constraintGeq(9))
+    lp.addConstraint(LinExpr(1, "x1").constraintLeq(2))
+    assert presolve(lp).status == "infeasible"
+
+
+def test_integer_snap_infeasible():
+    lp = LinProg()
+    lp.addVar("n", integral=True)
+    lp.minimize(LinExpr(1, "n"))
+    # 1/5 <= n <= 4/5 snaps to [1, 0]: empty (reference's LinVar golden,
+    # lpsol/test_linvar.py:72-76)
+    lp.addConstraint(LinExpr(5, "n").constraintGeq(1))
+    lp.addConstraint(LinExpr(5, "n").constraintLeq(4))
+    assert presolve(lp).status == "infeasible"
+    assert solve_with_presolve(lp).status == "infeasible"
+
+
+def test_duplicate_rows_collapse():
+    lp = _textbook()
+    # same left side as row 1, scaled and flipped: 2x1+2x2 <= 30 (weaker),
+    # and -1x1 -1x2 >= -10 (i.e. x1+x2 <= 10, stronger)
+    lp.addConstraint(LinExpr(2, "x1", 2, "x2").constraintLeq(30))
+    lp.addConstraint(
+        LinCon(LinExpr(-1, "x1", -1, "x2"), ">=", LinExpr(-10)))
+    res = presolve(lp)
+    assert res.status is None
+    assert res.removed_rows == 2
+    assert len(res.prog.constraints) == 2
+    # x1+x2 <= 10 now binds: optimum x1=6, x2=4 -> 360
+    assert solve_with_presolve(lp).objective == 360
+
+
+def test_duplicate_equalities_conflict():
+    lp = _textbook()
+    lp.addConstraint(LinExpr(1, "x1", 1, "x2").constrantEq(8))
+    lp.addConstraint(LinExpr(2, "x1", 2, "x2").constrantEq(18))
+    assert presolve(lp).status == "infeasible"
+
+
+def test_range_from_le_ge_pair():
+    lp = LinProg()
+    lp.addVar("x")
+    lp.addVar("y")
+    lp.minimize(LinExpr(1, "x", 1, "y"))
+    lp.addConstraint(LinExpr(1, "x", 1, "y").constraintGeq(4))
+    lp.addConstraint(LinExpr(2, "x", 2, "y").constraintLeq(8))  # same: <= 4
+    res = presolve(lp)
+    # lo == hi == 4 -> collapsed to one equality row
+    assert [c.comp for c in res.prog.constraints] == ["=="]
+    assert solve_with_presolve(lp).objective == 4
+
+
+def test_empty_column_pinned_to_best_bound():
+    lp = _textbook()
+    lp.addVar("z", lb=0, ub=7)           # not in any constraint
+    lp.objective.expr += LinExpr(3, "z")  # maximize -> push to ub
+    res = presolve(lp)
+    assert res.fixed.get("z") == 7
+    assert solve_with_presolve(lp).objective == 400 + 21
+
+
+def test_empty_column_unbounded():
+    lp = _textbook()
+    lp.addVar("w", lb=0, ub=None)
+    lp.objective.expr += LinExpr(1, "w")  # maximize, no ub -> unbounded
+    assert presolve(lp).status == "unbounded"
+    assert solve_with_presolve(lp).status == "unbounded"
+
+
+def test_fully_solved_by_presolve():
+    lp = LinProg()
+    lp.addVar("a", lb=2, ub=2)
+    lp.addVar("b")
+    lp.minimize(LinExpr(3, "a", 1, "b", 10))
+    lp.addConstraint(LinExpr(1, "b").constrantEq(5))
+    sol = solve_with_presolve(lp)
+    assert sol.status == "optimal"
+    assert sol.objective == 3 * 2 + 5 + 10
+    assert sol.x == {"a": 2, "b": 5}
+    assert sol.niter == 0
+
+
+def test_presolve_matches_plain_solve_on_corpus():
+    from tpulp.corpus import CASES
+
+    for case in CASES:
+        if case.size_hint > 40:          # keep the suite fast
+            continue
+        lp = case.lp()
+        pre = solve_with_presolve(lp, max_iters=case.max_iters)
+        assert pre.status == case.status, case.name
+        if case.status == "optimal":
+            assert pre.objective == case.objective, case.name
+
+
+def test_milp_with_presolve():
+    lp = LinProg()
+    for nm, val, wt in (("a", 10, 3), ("b", 13, 4), ("c", 7, 2)):
+        lp.addVar(nm, integral=True, lb=0, ub=1)
+    lp.maximize(LinExpr(10, "a", 13, "b", 7, "c"))
+    lp.addConstraint(LinExpr(3, "a", 4, "b", 2, "c").constraintLeq(6))
+    lp.addConstraint(LinExpr(1, "a").constraintLeq(Fraction(1, 2)))  # a = 0
+    sol = solve_with_presolve(lp)
+    assert sol.status == "optimal"
+    assert sol.objective == 20
+    assert sol.x["a"] == 0

@@ -30,27 +30,37 @@ from tpulp.core import make_state, SolverOptions
 from tpulp.solve.blocked import run_simplex_blocked
 from tpulp.solve.blocked_pallas import run_simplex_blocked_pallas
 
-# bounded (c >= 0), f32-safe size: stays out of the roundoff-chaos regime
-# where pivot paths legitimately diverge (verified 256x256 full-normal c
-# blows up to |z|~1e24 and parity cannot hold)
+# A NONTRIVIAL pivot path (the earlier c >= 0 instance was optimal at the
+# start, so niter was 0 and the pin was vacuous): integer data, ~200 f32
+# pivots. Exact pivot-sequence/basis equality is NOT asserted — the jnp and
+# Pallas drivers sum the eta corrections in different orders, and f32
+# roundoff legitimately flips ratio-test ties on long degenerate paths
+# (verified: 205 vs 206 pivots on this instance, both optimal). The compiled
+# kernel must terminate OPTIMAL after a real pivot path with the objective at
+# the exact host-oracle value to f32 accuracy.
 rng = np.random.default_rng(0)
 m, n = 64, 64
-A = rng.normal(size=(m, n)); x0 = np.abs(rng.normal(size=n))
-b = A @ x0 + np.abs(rng.normal(size=m)); c = np.abs(rng.normal(size=n))
+A = rng.integers(-3, 4, size=(m, n)).astype(float)
+x0 = rng.integers(1, 4, size=n).astype(float)
+b = A @ x0 + rng.integers(1, 5, size=m)
+c = rng.integers(-5, 6, size=n).astype(float)
 Afull = np.concatenate([A, np.eye(m)], axis=1)
 cfull = np.concatenate([c, np.zeros(m)])
 hint = list(range(n, n + m))
 st = make_state(cfull, Afull, b, hint, dtype=jnp.float32)
-opts = SolverOptions.for_dtype(jnp.float32, max_iters=500)
+opts = SolverOptions.for_dtype(jnp.float32, max_iters=2000)
+EXACT = -445.5617902989998   # tpulp.simplex.Simplex rational solve, seed 0
 ref = run_simplex_blocked(st, opts, block=8)
 out = run_simplex_blocked_pallas(st, opts, block=8)   # COMPILED (Mosaic)
 s_ref, s_out = int(ref.status), int(out.status)
 n_ref, n_out = int(ref.niter), int(out.niter)
-basis_eq = bool(np.array_equal(np.asarray(ref.basis), np.asarray(out.basis)))
-print(f"RESULT status={s_out}/{s_ref} niter={n_out}/{n_ref} basis_eq={basis_eq}")
+z_ref, z_out = float(ref.objective()), float(out.objective())
+print(f"RESULT status={s_out}/{s_ref} niter={n_out}/{n_ref} "
+      f"z={z_out:.4f}/{z_ref:.4f} exact={EXACT:.4f}")
 assert s_out == s_ref == 1, (s_out, s_ref)   # Status.OPTIMAL
-assert n_out == n_ref, (n_out, n_ref)
-assert basis_eq
+assert n_out > 50 and n_ref > 50, (n_out, n_ref)
+assert abs(z_out - EXACT) <= 1e-3 * abs(EXACT), (z_out, EXACT)
+assert abs(z_ref - EXACT) <= 1e-3 * abs(EXACT), (z_ref, EXACT)
 print("OK")
 """
 

@@ -47,7 +47,7 @@ def _cmd_solve(args) -> int:
         print(json.dumps(out))
         return 0
 
-    sol = prog.solve()
+    sol = prog.solve(presolve=args.presolve)
     out = {"status": sol.status}
     if sol.is_optimal:
         out["objective"] = str(sol.objective)
@@ -140,6 +140,9 @@ def main(argv=None) -> int:
                     help="use the exact-rational host simplex (LP only)")
     p1.add_argument("--rule", default="dantzig",
                     choices=["dantzig", "bland", "max_increase"])
+    p1.add_argument("--presolve", action="store_true",
+                    help="exact presolve (fixings, singleton/duplicate "
+                         "rows, empty columns) before the device solve")
     p1.set_defaults(fn=_cmd_solve)
 
     p2 = sub.add_parser("solve-tableau",

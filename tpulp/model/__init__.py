@@ -10,8 +10,12 @@ from .con import LinCon, COMPARATORS
 from .var import LinVar
 from .prog import LinProg, Objective, MIN, MAX
 from .lower import StandardForm, lower_to_standard_form, LoweringError
+from .presolve import PresolveResult, presolve, solve_with_presolve
 
 __all__ = [
+    "PresolveResult",
+    "presolve",
+    "solve_with_presolve",
     "LinExpr",
     "LinCon",
     "LinVar",

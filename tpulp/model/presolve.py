@@ -1,0 +1,235 @@
+"""Exact presolve: shrink a LinProg before lowering to the device solver.
+
+The reference has no presolve (its only problem-reduction machinery is the
+``LinVar`` integer bound snapping, lpsol/linprog.py:338-356, and
+``LinExpr.substitute``, lpsol/linprog.py:198-222 — the two seeds this pass
+builds on). Production LP frameworks presolve because every removed row or
+column shrinks the dense device tableau quadratically; here everything runs
+in exact ``Fraction`` arithmetic on host, so the reductions never change the
+optimum.
+
+Reductions, iterated to a fixpoint (each round):
+
+1. **fixed variables** (lb == ub, including integral snaps that pin a
+   value): substituted out of the objective and every constraint;
+2. **empty rows** (no variables after substitution): verified or reported
+   ``infeasible``;
+3. **singleton rows** (one variable): converted to a tightened bound on that
+   variable (``==`` pins lb = ub, so step 1 substitutes it next round); the
+   row is removed;
+4. **bound conflicts** (lb > ub after integral snapping): ``infeasible``;
+5. **duplicate rows** (same left side up to a scalar): collapsed to the
+   intersection interval — one row, an equality, or ``infeasible``;
+6. **empty columns** (variable in the objective but no remaining
+   constraint): pinned to whichever bound optimizes it — a missing bound in
+   the improving direction is ``unbounded``.
+
+The result carries the reduced program plus the assignments of every
+eliminated variable, so ``recover(x)`` rebuilds a full original-variable
+solution; the objective needs no adjustment because substitution folds fixed
+terms into the reduced objective's constant. MILP-safe: integral variables
+only ever get tightened snapped bounds, never relaxed ones.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from fractions import Fraction
+from typing import Dict, List, Optional, Tuple
+
+from .con import LinCon
+from .expr import LinExpr
+from .prog import MIN, LinProg
+from .var import LinVar
+
+__all__ = ["presolve", "solve_with_presolve", "PresolveResult"]
+
+_FLIP = {"<=": ">=", ">=": "<=", "==": "=="}
+
+
+@dataclass
+class PresolveResult:
+    prog: LinProg                       # the reduced program
+    fixed: Dict[str, Fraction] = field(default_factory=dict)
+    status: Optional[str] = None        # None | 'infeasible' | 'unbounded'
+    rounds: int = 0
+    removed_rows: int = 0
+    removed_vars: int = 0
+
+    def recover(self, x: Dict[str, Fraction]) -> Dict[str, Fraction]:
+        """Full original-variable assignment from a reduced-program one."""
+        out = dict(self.fixed)
+        out.update(x)
+        return out
+
+
+def _min_coef(sense: str, coef: Fraction) -> Fraction:
+    """Objective coefficient in the minimization sense."""
+    return coef if sense == MIN else -coef
+
+
+def presolve(prog: LinProg, max_rounds: int = 25) -> PresolveResult:
+    lp = prog.copy()
+    # materialize every referenced variable so bounds live in lp.vars
+    for name in lp.allVarNames():
+        if name not in lp.vars:
+            lp.vars[name] = LinVar(name)   # free, like getVariable()
+    res = PresolveResult(prog=lp)
+
+    def infeasible() -> PresolveResult:
+        res.status = "infeasible"
+        return res
+
+    for round_ in range(max_rounds):
+        res.rounds = round_ + 1
+        changed = False
+
+        # -- 1+4: bound sanity, then substitute out fixed variables ---------
+        subs: Dict[str, Fraction] = {}
+        for name in list(lp.vars):
+            v = lp.vars[name]
+            if not v.isFeasible():
+                return infeasible()
+            if v.isFixed():
+                subs[name] = v.lb
+                del lp.vars[name]
+        if subs:
+            res.fixed.update(subs)
+            res.removed_vars += len(subs)
+            lp.objective.expr = lp.objective.expr.substitute(subs)
+            for con in lp.constraints:
+                con.left = con.left.substitute(subs)
+                con.right = con.right.substitute(subs)
+            changed = True
+
+        # -- 2+3: canonicalize rows; empty rows out, singletons -> bounds ---
+        kept: List[LinCon] = []
+        for con in lp.constraints:
+            s = con.simplify()           # vars on left, constant on right
+            names = s.left.variables()
+            rhs = s.right.getConstant()
+            if not names:                # empty row: 0 comp rhs
+                if not s.evaluate({}):
+                    return infeasible()
+                res.removed_rows += 1
+                changed = True
+                continue
+            if len(names) == 1:          # singleton row -> bound
+                (name,) = names
+                a = s.left.getCoefficient(name)
+                v = lp.vars[name]
+                bound = rhs / a
+                comp = s.comp if a > 0 else _FLIP[s.comp]
+                if comp == "==":
+                    v.boundAbove(bound)
+                    v.boundBelow(bound)
+                elif comp == "<=":
+                    v.boundAbove(bound)
+                else:
+                    v.boundBelow(bound)
+                if not v.isFeasible():   # incl. bound outside prior bounds
+                    return infeasible()
+                res.removed_rows += 1
+                changed = True           # fixed pass substitutes next round
+                continue
+            kept.append(LinCon(s.left, s.comp, LinExpr(rhs)))
+
+        # -- 5: duplicate rows -> intersection interval per left side -------
+        # key = the left side normalized by its first coefficient;
+        # value = [lo, hi] interval for (normalized left) in that range
+        intervals: Dict[Tuple, List] = {}
+        order: List[Tuple] = []
+        exprs: Dict[Tuple, LinExpr] = {}
+        for con in kept:
+            names = sorted(con.left.variables())
+            a0 = con.left.getCoefficient(names[0])
+            key = tuple((nm, con.left.getCoefficient(nm) / a0)
+                        for nm in names)
+            rhs = con.right.getConstant() / a0
+            comp = con.comp if a0 > 0 else _FLIP[con.comp]
+            if key not in intervals:
+                intervals[key] = [None, None]   # lo, hi
+                order.append(key)
+                exprs[key] = LinExpr(
+                    *[x for nm, cf in key for x in (cf, nm)])
+            iv = intervals[key]
+            if comp in ("==", "<="):
+                if iv[1] is None or rhs < iv[1]:
+                    iv[1] = rhs
+            if comp in ("==", ">="):
+                if iv[0] is None or rhs > iv[0]:
+                    iv[0] = rhs
+        rows: List[LinCon] = []
+        for key in order:
+            lo, hi = intervals[key]
+            if lo is not None and hi is not None and lo > hi:
+                return infeasible()
+            if lo is not None and lo == hi:
+                rows.append(LinCon(exprs[key], "==", LinExpr(lo)))
+            else:
+                if hi is not None:
+                    rows.append(LinCon(exprs[key], "<=", LinExpr(hi)))
+                if lo is not None:
+                    rows.append(LinCon(exprs[key].copy(), ">=",
+                                       LinExpr(lo)))
+        if len(rows) < len(kept):
+            res.removed_rows += len(kept) - len(rows)
+            changed = True
+        lp.constraints = rows
+
+        # -- 6: empty columns -> optimizing bound ---------------------------
+        used = set()
+        for con in lp.constraints:
+            used.update(con.left.variables())
+        for name in list(lp.vars):
+            if name in used:
+                continue
+            v = lp.vars[name]
+            cmin = _min_coef(lp.objective.sense,
+                             lp.objective.expr.getCoefficient(name))
+            if cmin > 0:
+                target = v.lb            # push down
+            elif cmin < 0:
+                target = v.ub            # push up
+            else:
+                target = v.lb if v.lb is not None else (
+                    v.ub if v.ub is not None else Fraction(0))
+            if target is None:
+                res.status = "unbounded"
+                return res
+            # pin via tightened bounds; round 1 of the next iteration
+            # substitutes it out (snapping cannot move it: bounds of an
+            # integral variable are already snapped, so target is integral)
+            v.boundAbove(target)
+            v.boundBelow(target)
+            if not v.isFeasible():
+                return infeasible()
+            changed = True
+
+        if not changed:
+            break
+
+    return res
+
+
+def solve_with_presolve(prog: LinProg, **options):
+    """Presolve, solve the reduced program, and map the solution back.
+
+    Returns the same ``tpulp.solve.Solution`` type as ``LinProg.solve``;
+    infeasibility/unboundedness proven by presolve short-circuits the device
+    solve entirely.
+    """
+    from ..solve.api import Solution
+
+    res = presolve(prog)
+    if res.status is not None:
+        return Solution(status=res.status)
+    if not res.prog.allVarNames():       # fully solved by presolve
+        obj = res.prog.objective.expr.getConstant()
+        return Solution(
+            status="optimal", objective=obj, x=res.recover({}),
+            objective_min=_min_coef(prog.objective.sense, obj))
+    sol = res.prog.solve(**options)
+    if sol.x is not None:
+        sol.x = res.recover(sol.x)
+    return sol

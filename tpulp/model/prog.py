@@ -162,12 +162,19 @@ class LinProg:
 
         return lower_to_standard_form(self, **kwargs)
 
-    def solve(self, **options):
+    def solve(self, presolve: bool = False, **options):
         """Solve this program. MILP if any variable is integral, else LP.
 
-        Returns a ``tpulp.solve.Solution``. See ``tpulp.solve.api.solve_lp``
-        and ``tpulp.milp.solve_milp`` for options.
+        ``presolve=True`` first shrinks the program with the exact presolve
+        pass (``tpulp.model.presolve``) and maps the solution back to the
+        original variables. Returns a ``tpulp.solve.Solution``. See
+        ``tpulp.solve.api.solve_lp`` and ``tpulp.milp.solve_milp`` for
+        options.
         """
+        if presolve:
+            from .presolve import solve_with_presolve
+
+            return solve_with_presolve(self, **options)
         if self.isMixedInteger():
             from ..milp import solve_milp
 

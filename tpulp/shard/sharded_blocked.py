@@ -93,7 +93,8 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     row_d = lax.cond(
         cleanup,
         lambda: s.T[2 + r_d, :] + jnp.einsum(
-            'k,kn->n', carry.U[:, 2 + r_d], carry.Vl),
+            'k,kn->n', carry.U[:, 2 + r_d], carry.Vl,
+            precision=lax.Precision.HIGHEST),
         lambda: jnp.zeros((n_local,), dtype),
     )
     elig = s.col_active & ~s.art_cols & (jnp.abs(row_d) > opts.piv_tol)
@@ -138,7 +139,8 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     # ---- entering column reconstruction + replicated ratio test -------------
     j = jnp.where(cleanup, j_d, j_price)
     tcol, vj, owner, j_local = _fetch_col_and_eta(s.T, carry.Vl, j, axis)
-    colj = tcol + jnp.einsum('k,km->m', vj, carry.U)
+    colj = tcol + jnp.einsum('k,km->m', vj, carry.U,
+                             precision=lax.Precision.HIGHEST)
     col = colj[2:]
     b = carry.bvec[2:]
     pos = col > opts.piv_tol
@@ -167,8 +169,10 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     # pivot row reconstruction: one psum-free local einsum per shard (for the
     # cleanup case this equals row_d since rg == 2 + r_d)
     vrow = (s.T[rg, :] + jnp.einsum(
-        'k,kn->n', carry.U[:, rg], carry.Vl)) * actf
-    vrow_rhs = (s.rhs[rg] + jnp.dot(carry.U[:, rg], carry.vr)) * actf
+        'k,kn->n', carry.U[:, rg], carry.Vl,
+        precision=lax.Precision.HIGHEST)) * actf
+    vrow_rhs = (s.rhs[rg] + jnp.dot(carry.U[:, rg], carry.vr,
+                                    precision=lax.Precision.HIGHEST)) * actf
     zero = jnp.zeros((), jnp.int32)
     U = lax.dynamic_update_slice(carry.U, w[None, :], (carry.t, zero))
     Vl = lax.dynamic_update_slice(carry.Vl, vrow[None, :], (carry.t, zero))
@@ -280,9 +284,13 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
                     c, opts, stall_limit, n_global, max_iters, axis),
                 carry)
             # rank-K flush: purely local on each shard's column block
+            # HIGHEST: TPU f32 matmuls default to bf16 MXU inputs, which
+            # corrupts the eta flush (see tpulp.solve.blocked)
             T = carry.s.T + jnp.einsum(
-                'km,kn->mn', carry.U, carry.Vl, preferred_element_type=dtype)
-            rhs = carry.s.rhs + jnp.einsum('km,k->m', carry.U, carry.vr)
+                'km,kn->mn', carry.U, carry.Vl, preferred_element_type=dtype,
+                precision=lax.Precision.HIGHEST)
+            rhs = carry.s.rhs + jnp.einsum('km,k->m', carry.U, carry.vr,
+                                           precision=lax.Precision.HIGHEST)
             return fresh_carry(carry.s._replace(T=T, rhs=rhs))
 
         out = lax.while_loop(outer_cond, outer_body, fresh_carry(sh)).s

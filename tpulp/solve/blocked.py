@@ -74,7 +74,8 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     row_d = lax.cond(
         cleanup,
         lambda: carry.s.T[2 + r_d, :] + jnp.einsum(
-            'k,kn->n', carry.U[:, 2 + r_d], carry.V),
+            'k,kn->n', carry.U[:, 2 + r_d], carry.V,
+            precision=lax.Precision.HIGHEST),
         lambda: jnp.zeros((n + 1,), dtype),
     )
     elig = s.col_active & ~s.art_cols & (jnp.abs(row_d[:-1]) > opts.piv_tol)
@@ -105,7 +106,8 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
 
     # ---- entering column + ratio test -------------------------------------
     j = jnp.where(cleanup, j_d, j_price)
-    colj = s.T[:, j] + jnp.einsum('k,km->m', carry.V[:, j], carry.U)
+    colj = s.T[:, j] + jnp.einsum('k,km->m', carry.V[:, j], carry.U,
+                                  precision=lax.Precision.HIGHEST)
     col = colj[2:]
     b = carry.bvec[2:]
     pos = col > opts.piv_tol
@@ -136,7 +138,8 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     vrow = lax.cond(
         do_cleanup,
         lambda: row_d,
-        lambda: s.T[rg, :] + jnp.einsum('k,kn->n', carry.U[:, rg], carry.V),
+        lambda: s.T[rg, :] + jnp.einsum('k,kn->n', carry.U[:, rg], carry.V,
+                                        precision=lax.Precision.HIGHEST),
     ) * actf
     zero = jnp.zeros((), jnp.int32)
     U = lax.dynamic_update_slice(carry.U, w[None, :], (carry.t, zero))
@@ -231,8 +234,12 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
                 carry)
             # ONE rank-K MXU flush: T += U^T V (einsum contracts the leading
             # eta axis of both factors without materializing a transpose)
+            # HIGHEST: the TPU default matmul precision truncates f32 MXU
+            # inputs to bf16, which corrupts long eta-flush chains (verified
+            # on-chip: a 326-pivot walk claimed a below-optimal objective)
             T = carry.s.T + jnp.einsum(
-                'km,kn->mn', carry.U, carry.V, preferred_element_type=dtype)
+                'km,kn->mn', carry.U, carry.V, preferred_element_type=dtype,
+                precision=lax.Precision.HIGHEST)
             return fresh_carry(carry.s._replace(T=T))
 
         out = lax.while_loop(outer_cond, outer_body, fresh_carry(state)).s

@@ -116,10 +116,14 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
                  opts=opts, stall_limit=stall_limit, K=K,
                  n_real=N, m_real=m, interpret=interpret)
             # flush the rank-K update into both tableau copies (2 matmuls)
+            # HIGHEST: TPU's default matmul precision feeds the MXU bf16
+            # inputs for f32 einsums; the rank-K flush needs full f32
             T = c.T + jnp.einsum('km,kn->mn', U, V,
-                                 preferred_element_type=dtype)
+                                 preferred_element_type=dtype,
+                                 precision=lax.Precision.HIGHEST)
             Tt = c.Tt + jnp.einsum('kn,km->nm', V, U,
-                                   preferred_element_type=dtype)
+                                   preferred_element_type=dtype,
+                                   precision=lax.Precision.HIGHEST)
             # re-derive the running vectors from the flushed tableau (kills
             # incremental drift once per block)
             return _Carry(
