@@ -88,3 +88,18 @@ class TestCli:
         res2 = run_cli(["render", path, "--format", "latex"])
         assert res2.returncode == 0
         assert "tabular" in res2.stdout
+
+    def test_solve_exact_with_presolve(self, tmp_path):
+        # advisor finding: --presolve used to be silently ignored with
+        # --exact; exact Fraction presolve composes with the exact simplex
+        path = str(tmp_path / "m.json")
+        lp = sample_prog()
+        lp.addVar("fix", lb=3, ub=3)     # presolve substitutes this out
+        lp.objective.expr += LinExpr(2, "fix")
+        save_prog(path, lp)
+        res = run_cli(["solve", path, "--exact", "--presolve"])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        assert out["status"] == "optimal"
+        assert out["objective"] == "371"          # 365 + 2*3
+        assert out["x"]["fix"] == "3"             # recovered fixed var

@@ -253,3 +253,32 @@ def test_errors():
     with pytest.raises(ValueError, match="numeric"):
         read_mps_string(
             "NAME X\nROWS\n N obj\nCOLUMNS\n    x  obj  abc\n")
+
+
+def test_writer_preserves_original_names():
+    # advisor finding: a read -> write round trip used to lose the file's
+    # variable spellings and all row names (R0..Rn); the writer now emits the
+    # original identifiers recorded by the reader
+    lp = read_mps_string("""\
+NAME NAMES
+ROWS
+ N  PROFIT
+ L  LIM.1
+ G  MIN-USE
+COLUMNS
+    x.y  PROFIT  -3  LIM.1  1
+    x.y  MIN-USE  1
+    1z   PROFIT  -2  LIM.1  2
+RHS
+    RHS  LIM.1  10  MIN-USE  1
+ENDATA
+""")
+    text = write_mps_string(lp)
+    assert " N  PROFIT" in text
+    assert " L  LIM.1" in text and " G  MIN-USE" in text
+    assert "x.y" in text and "1z" in text
+    assert "R0" not in text and "COST" not in text
+    # and the rewritten file still parses to the same program
+    lp2 = read_mps_string(text)
+    assert lp2.solve().objective == lp.solve().objective
+    assert lp2.mps_names == lp.mps_names

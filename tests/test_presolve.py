@@ -137,8 +137,51 @@ def test_empty_column_unbounded():
     lp = _textbook()
     lp.addVar("w", lb=0, ub=None)
     lp.objective.expr += LinExpr(1, "w")  # maximize, no ub -> unbounded
+    res = presolve(lp)
+    # presolve alone cannot prove the rest feasible while rows remain: it
+    # defers the verdict instead of overclaiming 'unbounded'
+    assert res.status is None and res.unbounded_if_feasible
+    assert "w" in res.dangling_cols and "w" not in res.prog.vars
+    assert solve_with_presolve(lp).status == "unbounded"
+
+
+def test_empty_column_unbounded_no_rows_left():
+    lp = LinProg()
+    lp.addVar("w", lb=0, ub=None)
+    lp.maximize(LinExpr(1, "w"))
+    # no constraints at all: feasibility is trivial, presolve decides alone
     assert presolve(lp).status == "unbounded"
     assert solve_with_presolve(lp).status == "unbounded"
+
+
+def test_empty_column_over_infeasible_core_stays_infeasible():
+    # advisor counterexample: an infeasible core plus a dangling maximized
+    # column must report 'infeasible', never 'unbounded'
+    lp = LinProg()
+    lp.addVar("x")
+    lp.addVar("y")
+    lp.addVar("w", lb=0, ub=None)
+    lp.maximize(LinExpr(1, "w"))
+    lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(1))
+    lp.addConstraint(LinExpr(1, "x", -1, "y").constraintLeq(-3))
+    lp.addConstraint(LinExpr(-1, "x", 1, "y").constraintLeq(-3))
+    assert lp.solve().status == "infeasible"
+    assert solve_with_presolve(lp).status == "infeasible"
+    assert lp.solve(presolve=True).status == "infeasible"
+
+
+def test_presolve_duals_rejected_and_reduced_artifacts_cleared():
+    import pytest
+
+    lp = _textbook()
+    lp.addVar("z", lb=3, ub=3)           # fixed var -> presolve changes space
+    lp.objective.expr += LinExpr(1, "z")
+    with pytest.raises(ValueError):
+        solve_with_presolve(lp, duals=True)
+    sol = solve_with_presolve(lp)
+    assert sol.status == "optimal" and sol.objective == 403
+    # reduced-space artifacts must not leak into the mapped-back solution
+    assert sol.y is None and sol.basis is None and sol.col_values is None
 
 
 def test_fully_solved_by_presolve():

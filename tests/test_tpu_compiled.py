@@ -49,6 +49,11 @@ cfull = np.concatenate([c, np.zeros(m)])
 hint = list(range(n, n + m))
 st = make_state(cfull, Afull, b, hint, dtype=jnp.float32)
 opts = SolverOptions.for_dtype(jnp.float32, max_iters=2000)
+# EXACT regeneration recipe (host rational oracle on the SAME instance):
+#   tab = tpulp.tableau.Tableau.fromArrays(cfull, Afull, b)
+#   sx = tpulp.simplex.Simplex(tab); sx.solve()
+#   EXACT = float(sx.getObjValue())
+# (the instance is fully determined by default_rng(0) above)
 EXACT = -445.5617902989998   # tpulp.simplex.Simplex rational solve, seed 0
 ref = run_simplex_blocked(st, opts, block=8)
 out = run_simplex_blocked_pallas(st, opts, block=8)   # COMPILED (Mosaic)

@@ -28,6 +28,22 @@ def _cmd_solve(args) -> int:
         from .simplex import Simplex
         from .tableau import Tableau
 
+        res = None
+        if args.presolve:
+            # presolve is exact Fraction arithmetic, so it composes with the
+            # exact host simplex (advisor finding: it used to be silently
+            # ignored on this path)
+            from .model.presolve import presolve
+
+            res = presolve(prog)
+            if res.status is not None:
+                print(json.dumps({"status": res.status}))
+                return 0
+            prog = res.prog
+            if res.unbounded_if_feasible and not prog.allVarNames():
+                print(json.dumps({"status": "unbounded"}))
+                return 0
+
         sf = prog.lower()
         tab = Tableau.fromArrays(sf.c, sf.A, sf.b, names=sf.col_names)
         sx = Simplex(tab, on_infeasible="status")
@@ -35,13 +51,21 @@ def _cmd_solve(args) -> int:
             print(json.dumps({"status": "infeasible"}))
             return 0
         status = sx.solve(rule=args.rule)
+        if res is not None and res.unbounded_if_feasible:
+            # the reduced program is feasible, so the dangling improving
+            # column makes the original unbounded
+            print(json.dumps({"status": "unbounded"}))
+            return 0
         from fractions import Fraction
 
         xc = [sx.getBFS().get(j, Fraction(0)) for j in range(sf.n)]
+        x = sf.recover_solution(xc)
+        if res is not None:
+            x = res.recover(x)
         out = {
             "status": status.value,
             "objective": str(sf.objective_value(xc)),
-            "x": {k: str(v) for k, v in sf.recover_solution(xc).items()},
+            "x": {k: str(v) for k, v in x.items()},
             "pivots": sx.num_pivots,
         }
         print(json.dumps(out))

@@ -41,9 +41,6 @@ from ..model import MAX, MIN, LinCon, LinExpr, LinProg, LinVar, VARNAME_RE
 
 __all__ = ["read_mps", "read_mps_string", "write_mps", "write_mps_string"]
 
-_SECTIONS = {"NAME", "OBJSENSE", "OBJSENSE MAX", "OBJSENSE MIN", "ROWS",
-             "COLUMNS", "RHS", "RANGES", "BOUNDS", "ENDATA"}
-
 
 def _frac(tok: str) -> Fraction:
     try:
@@ -238,31 +235,41 @@ def read_mps_string(text: str) -> LinProg:
         raise ValueError("MPS file has no objective (N) row")
 
     lp.setObjective(rows[obj_row].expr + obj_const, sense)
+    row_names = []                       # original row name per constraint
+
+    def add(rname, expr, comp, rhs):
+        lp.addConstraint(LinCon(expr, comp, LinExpr(rhs)))
+        row_names.append(rname)
+
     for rname in row_order:
         row = rows[rname]
         if row.kind == "N":
             continue                     # objective / free rows
         rhs = row.rhs if row.rhs is not None else Fraction(0)
         if row.kind == "L":
-            lp.addConstraint(LinCon(row.expr.copy(), "<=", LinExpr(rhs)))
+            add(rname, row.expr.copy(), "<=", rhs)
             if row.range_ is not None:
-                lp.addConstraint(LinCon(row.expr.copy(), ">=",
-                                        LinExpr(rhs - abs(row.range_))))
+                # the RANGES-generated second side gets a derived name so a
+                # write round-trip emits unique row identifiers
+                add(f"{rname}__RNG", row.expr.copy(), ">=",
+                    rhs - abs(row.range_))
         elif row.kind == "G":
-            lp.addConstraint(LinCon(row.expr.copy(), ">=", LinExpr(rhs)))
+            add(rname, row.expr.copy(), ">=", rhs)
             if row.range_ is not None:
-                lp.addConstraint(LinCon(row.expr.copy(), "<=",
-                                        LinExpr(rhs + abs(row.range_))))
+                add(f"{rname}__RNG", row.expr.copy(), "<=",
+                    rhs + abs(row.range_))
         else:                            # E
             if row.range_ is None:
-                lp.addConstraint(LinCon(row.expr.copy(), "==", LinExpr(rhs)))
+                add(rname, row.expr.copy(), "==", rhs)
             else:
                 lo = rhs + min(row.range_, 0)
                 hi = rhs + max(row.range_, 0)
-                lp.addConstraint(LinCon(row.expr.copy(), ">=", LinExpr(lo)))
-                lp.addConstraint(LinCon(row.expr.copy(), "<=", LinExpr(hi)))
+                add(rname, row.expr.copy(), ">=", lo)
+                add(f"{rname}__RNG", row.expr.copy(), "<=", hi)
 
     lp.mps_names = dict(names.rev)       # sanitized -> original
+    lp.mps_row_names = row_names         # aligned with lp.constraints
+    lp.mps_obj_name = obj_row
     return lp
 
 
@@ -288,17 +295,33 @@ def _num(x: Fraction) -> str:
 
 
 def write_mps_string(lp: LinProg, name: Optional[str] = None) -> str:
-    """Serialize a ``LinProg`` as (free-format) MPS text."""
+    """Serialize a ``LinProg`` as (free-format) MPS text.
+
+    Programs that came through ``read_mps`` carry their original spellings
+    (``mps_names``/``mps_row_names``/``mps_obj_name``); the writer emits
+    those, so a read -> write round trip preserves the file's identifiers
+    (they are valid whitespace-free MPS tokens by construction). Programs
+    built directly get their tpulp variable names and generated ``R{i}``
+    row names."""
+    var_orig: Dict[str, str] = getattr(lp, "mps_names", None) or {}
+    row_orig = getattr(lp, "mps_row_names", None)
+    if row_orig is None or len(row_orig) != len(lp.constraints):
+        row_orig = [f"R{i}" for i in range(len(lp.constraints))]
+    obj_name = getattr(lp, "mps_obj_name", None) or "COST"
+
+    def vname(nm: str) -> str:
+        return var_orig.get(nm, nm)
+
     out = [f"NAME          {name or lp.name or 'TPULP'}"]
     if lp.objective.sense == MAX:
         out += ["OBJSENSE", "    MAX"]
     out.append("ROWS")
-    out.append(" N  COST")
+    out.append(f" N  {obj_name}")
     cons = []
     for i, con in enumerate(lp.constraints):
         s = con.simplify()               # vars-on-left, const-on-right
         kind = {"<=": "L", ">=": "G", "==": "E"}[s.comp]
-        rname = f"R{i}"
+        rname = row_orig[i]
         cons.append((rname, kind, s.left, s.right.getConstant()))
         out.append(f" {kind}  {rname}")
     obj = lp.objective.expr
@@ -319,17 +342,17 @@ def write_mps_string(lp: LinProg, name: Optional[str] = None) -> str:
             in_int, mk = False, mk + 1
         coef = obj.getCoefficient(nm)
         if coef:
-            out.append(f"    {nm}  COST  {_num(coef)}")
+            out.append(f"    {vname(nm)}  {obj_name}  {_num(coef)}")
         for rname, _, expr, _ in cons:
             c = expr.getCoefficient(nm)
             if c:
-                out.append(f"    {nm}  {rname}  {_num(c)}")
+                out.append(f"    {vname(nm)}  {rname}  {_num(c)}")
     if in_int:
         out.append(f"    MARKER{mk}    'MARKER'    'INTEND'")
     out.append("RHS")
     oc = obj.getConstant()
     if oc:
-        out.append(f"    RHS  COST  {_num(-oc)}")
+        out.append(f"    RHS  {obj_name}  {_num(-oc)}")
     for rname, _, _, rhs in cons:
         if rhs:
             out.append(f"    RHS  {rname}  {_num(rhs)}")
@@ -337,16 +360,16 @@ def write_mps_string(lp: LinProg, name: Optional[str] = None) -> str:
     for nm in varnames:
         v = lp.getVariable(nm)
         if v.lb is None and v.ub is None:
-            out.append(f" FR BND  {nm}")
+            out.append(f" FR BND  {vname(nm)}")
             continue
         if v.lb is None:
-            out.append(f" MI BND  {nm}")
+            out.append(f" MI BND  {vname(nm)}")
         elif v.lb != 0:
             k = "LI" if v.isint else "LO"
-            out.append(f" {k} BND  {nm}  {_num(v.lb)}")
+            out.append(f" {k} BND  {vname(nm)}  {_num(v.lb)}")
         if v.ub is not None:
             k = "UI" if v.isint else "UP"
-            out.append(f" {k} BND  {nm}  {_num(v.ub)}")
+            out.append(f" {k} BND  {vname(nm)}  {_num(v.ub)}")
     out.append("ENDATA")
     return "\n".join(out) + "\n"
 

@@ -21,8 +21,14 @@ Reductions, iterated to a fixpoint (each round):
 5. **duplicate rows** (same left side up to a scalar): collapsed to the
    intersection interval — one row, an equality, or ``infeasible``;
 6. **empty columns** (variable in the objective but no remaining
-   constraint): pinned to whichever bound optimizes it — a missing bound in
-   the improving direction is ``unbounded``.
+   constraint): pinned to whichever bound optimizes it. A missing bound in
+   the improving direction makes the program unbounded ONLY IF the rest of
+   the program is feasible — presolve alone cannot know that, so it removes
+   the dangling column, sets ``unbounded_if_feasible`` and leaves the final
+   verdict to ``solve_with_presolve`` (which solves the remaining program
+   for feasibility and reports ``unbounded`` or ``infeasible`` accordingly).
+   Only when no constraints remain (feasibility is then trivial) does
+   presolve itself report ``unbounded``.
 
 The result carries the reduced program plus the assignments of every
 eliminated variable, so ``recover(x)`` rebuilds a full original-variable
@@ -55,6 +61,11 @@ class PresolveResult:
     rounds: int = 0
     removed_rows: int = 0
     removed_vars: int = 0
+    # a dangling column had no bound in its improving direction: the program
+    # is unbounded IF the reduced program is feasible, infeasible otherwise
+    # (solve_with_presolve resolves the disjunction; names recorded here)
+    unbounded_if_feasible: bool = False
+    dangling_cols: List[str] = field(default_factory=list)
 
     def recover(self, x: Dict[str, Fraction]) -> Dict[str, Fraction]:
         """Full original-variable assignment from a reduced-program one."""
@@ -195,8 +206,19 @@ def presolve(prog: LinProg, max_rounds: int = 25) -> PresolveResult:
                 target = v.lb if v.lb is not None else (
                     v.ub if v.ub is not None else Fraction(0))
             if target is None:
-                res.status = "unbounded"
-                return res
+                # no bound in the improving direction: defer the verdict —
+                # 'unbounded' requires the REST of the program to be feasible
+                # (an advisor-verified counterexample: an infeasible core plus
+                # a dangling maximized column must stay 'infeasible'). Remove
+                # the column; solve_with_presolve settles the disjunction.
+                res.unbounded_if_feasible = True
+                res.dangling_cols.append(name)
+                lp.objective.expr = lp.objective.expr.substitute(
+                    {name: Fraction(0)})
+                del lp.vars[name]
+                res.removed_vars += 1
+                changed = True
+                continue
             # pin via tightened bounds; round 1 of the next iteration
             # substitutes it out (snapping cannot move it: bounds of an
             # integral variable are already snapped, so target is integral)
@@ -209,6 +231,10 @@ def presolve(prog: LinProg, max_rounds: int = 25) -> PresolveResult:
         if not changed:
             break
 
+    if res.unbounded_if_feasible and not lp.constraints:
+        # no rows left: every remaining variable is feasible (bounds were
+        # checked), so the disjunction resolves to unbounded right here
+        res.status = "unbounded"
     return res
 
 
@@ -217,13 +243,34 @@ def solve_with_presolve(prog: LinProg, **options):
 
     Returns the same ``tpulp.solve.Solution`` type as ``LinProg.solve``;
     infeasibility/unboundedness proven by presolve short-circuits the device
-    solve entirely.
+    solve entirely. When presolve found a dangling unbounded-direction
+    column, the reduced program is solved only to decide feasibility and the
+    status is ``unbounded`` (feasible) or ``infeasible``.
+
+    Row duals / basis / column values of the reduced program live in the
+    REDUCED row/column space with no mapping back to the original program,
+    so ``duals=True`` is rejected here and those fields are cleared whenever
+    presolve changed the program (use ``solve(presolve=False, duals=True)``
+    for sensitivity output).
     """
     from ..solve.api import Solution
 
+    if options.get("duals"):
+        raise ValueError(
+            "duals=True is unsupported with presolve: row duals would be "
+            "reported in the reduced program's row space; solve with "
+            "presolve=False for duals")
     res = presolve(prog)
     if res.status is not None:
         return Solution(status=res.status)
+    if res.unbounded_if_feasible:
+        # dangling improving column: 'unbounded' iff the rest is feasible
+        if not res.prog.allVarNames():
+            return Solution(status="unbounded")
+        feas = res.prog.solve(**options)
+        if feas.status in ("optimal", "unbounded"):
+            return Solution(status="unbounded")
+        return Solution(status=feas.status)
     if not res.prog.allVarNames():       # fully solved by presolve
         obj = res.prog.objective.expr.getConstant()
         return Solution(
@@ -232,4 +279,10 @@ def solve_with_presolve(prog: LinProg, **options):
     sol = res.prog.solve(**options)
     if sol.x is not None:
         sol.x = res.recover(sol.x)
+    if res.fixed or res.removed_rows or res.removed_vars:
+        # reduced-space row/column artifacts must not leak as if they were
+        # original-space (advisor finding): clear them
+        sol.y = None
+        sol.basis = None
+        sol.col_values = None
     return sol
