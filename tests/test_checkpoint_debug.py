@@ -54,14 +54,21 @@ class TestCheckpoint:
     def test_bnb_frontier_roundtrip(self, tmp_path):
         from fractions import Fraction as F
 
+        import numpy as np
+
         frontier = [
+            # legacy 3-tuple (no parent basis) and 4-tuple with one
             (F(-3, 2), 0, {"x": (F(0), F(4)), "y": (F(1), F(1))}),
-            (F(7, 3), 1, {"x": (F(2), F(4))}),
+            (F(7, 3), 1, {"x": (F(2), F(4))},
+             np.asarray([5, 2, 9], dtype=np.int32)),
         ]
         path = str(tmp_path / "frontier.json")
         save_bnb_frontier(path, frontier, F(5, 2), meta={"round": 3})
         loaded, inc, meta = load_bnb_frontier(path)
-        assert loaded == frontier
+        assert [(b, tb, bd) for b, tb, bd, _ in loaded] == [
+            frontier[0], frontier[1][:3]]
+        assert loaded[0][3] is None
+        assert loaded[1][3].tolist() == [5, 2, 9]
         assert inc == F(5, 2)
         assert meta == {"round": 3}
 

@@ -174,17 +174,26 @@ def solve_lp_batch(
 
 
 def extract_batch_solutions(sfs: Sequence[StandardForm], out: SimplexState,
-                            refine: str) -> List[Solution]:
+                            refine: str,
+                            prefetched=None) -> List[Solution]:
     """One Solution per StandardForm from the terminal batched state; lane k
-    corresponds to ``sfs[k]`` (trailing padded lanes are ignored)."""
+    corresponds to ``sfs[k]`` (trailing padded lanes are ignored).
+
+    ``prefetched`` optionally supplies already-on-host copies of
+    ``(statuses, niters, bases, corners, art_cols)`` so callers that batch
+    their device reads (one ``jax.device_get`` per wave — tpulp.milp) pay a
+    single tunnel roundtrip instead of five."""
     # ONE host fetch per leaf: per-lane device reads would each pay a full
     # device->host roundtrip (over the tunneled TPU, 128 lanes x ~10ms
     # dominated MILP wave time)
-    statuses = np.asarray(out.status)
-    niters = np.asarray(out.niter)
-    bases = np.asarray(out.basis)
-    corners = np.asarray(out.T[:, 0, -1])
-    art_cols_np = np.asarray(out.art_cols)
+    if prefetched is not None:
+        statuses, niters, bases, corners, art_cols_np = prefetched
+    else:
+        statuses = np.asarray(out.status)
+        niters = np.asarray(out.niter)
+        bases = np.asarray(out.basis)
+        corners = np.asarray(out.T[:, 0, -1])
+        art_cols_np = np.asarray(out.art_cols)
     rhs_np = np.asarray(out.T[:, 2:, -1]) if refine == "none" else None
     results: List[Solution] = []
     for k, sf in enumerate(sfs):

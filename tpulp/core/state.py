@@ -104,6 +104,9 @@ class SolverOptions:
     stall_limit: int = 0
     # phase-1 optimum above this is reported infeasible
     infeas_tol: float = 1e-7
+    # dual simplex: basic values above -feas_tol count as primal feasible
+    # (termination test of tpulp.solve.dual)
+    feas_tol: float = 1e-9
 
     def resolved_stall_limit(self, m: int, n: int) -> int:
         return self.stall_limit if self.stall_limit > 0 else m + n
@@ -116,9 +119,11 @@ class SolverOptions:
         # truncates to f32 iterates, which need the f32 tolerances
         name = canonical_dtype(dtype).name
         if name == "float32":
-            base = dict(opt_tol=1e-5, piv_tol=1e-5, infeas_tol=1e-4)
+            base = dict(opt_tol=1e-5, piv_tol=1e-5, infeas_tol=1e-4,
+                        feas_tol=1e-5)
         else:
-            base = dict(opt_tol=1e-9, piv_tol=1e-9, infeas_tol=1e-7)
+            base = dict(opt_tol=1e-9, piv_tol=1e-9, infeas_tol=1e-7,
+                        feas_tol=1e-9)
         base.update(overrides)
         return cls(**base)
 

@@ -53,30 +53,41 @@ def _frac_str(f: Fraction) -> str:
 
 def save_bnb_frontier(path: str, frontier: List[Tuple], incumbent_z,
                       meta: Dict[str, Any] | None = None) -> None:
-    """Persist a B&B frontier: [(bound, tiebreak, {var: (lb, ub)}), ...].
+    """Persist a B&B frontier:
+    [(bound, tiebreak, {var: (lb, ub)}, parent_basis|None), ...].
 
-    All rationals are stored as exact 'p/q' strings."""
+    All rationals are stored as exact 'p/q' strings; the optional parent
+    basis (batched-space column indices) re-enables dual-simplex warm starts
+    after a resume. Legacy 3-tuples (no basis) are accepted."""
+    nodes = []
+    for entry in frontier:
+        if len(entry) == 3:
+            bound, tb, bounds = entry
+            pbasis = None
+        else:
+            bound, tb, bounds, pbasis = entry
+        nodes.append({
+            "bound": _frac_str(bound),
+            "tiebreak": tb,
+            "bounds": {
+                name: [_frac_str(lo), _frac_str(hi)]
+                for name, (lo, hi) in bounds.items()
+            },
+            "basis": None if pbasis is None
+            else [int(j) for j in pbasis],
+        })
     payload = {
         "incumbent_z": None if incumbent_z is None else _frac_str(incumbent_z),
         "meta": meta or {},
-        "nodes": [
-            {
-                "bound": _frac_str(bound),
-                "tiebreak": tb,
-                "bounds": {
-                    name: [_frac_str(lo), _frac_str(hi)]
-                    for name, (lo, hi) in bounds.items()
-                },
-            }
-            for bound, tb, bounds in frontier
-        ],
+        "nodes": nodes,
     }
     with open(path, "w") as fh:
         json.dump(payload, fh)
 
 
 def load_bnb_frontier(path: str):
-    """(frontier, incumbent_z, meta) from a saved B&B checkpoint."""
+    """(frontier, incumbent_z, meta) from a saved B&B checkpoint; frontier
+    entries are (bound, tiebreak, bounds, parent_basis|None)."""
     with open(path) as fh:
         payload = json.load(fh)
     inc = payload["incumbent_z"]
@@ -89,6 +100,8 @@ def load_bnb_frontier(path: str):
                 name: (Fraction(lo), Fraction(hi))
                 for name, (lo, hi) in node["bounds"].items()
             },
+            None if node.get("basis") is None
+            else np.asarray(node["basis"], dtype=np.int32),
         )
         for node in payload["nodes"]
     ]

@@ -62,6 +62,8 @@ class BnbStats:
     nodes_pruned_infeasible: int = 0
     incumbent_updates: int = 0
     solo_resolves: int = 0  # numerical_error / iteration_limit lanes re-run
+    warm_nodes: int = 0     # nodes solved by dual-simplex warm start
+    warm_pivots: int = 0    # total pivots across warm-started nodes
 
 
 Bounds = Dict[str, Tuple[Fraction, Fraction]]
@@ -203,9 +205,13 @@ def solve_milp(
         root_bounds[name] = (v.lb, v.ub)
     branch_names = list(root_bounds)
 
-    # frontier: (parent LP bound as float, tiebreak, exact bound, bounds dict)
+    # frontier: (parent LP bound as float, tiebreak, exact bound, bounds
+    # dict, parent terminal basis in BATCHED column space or None). A node
+    # with a parent basis is re-optimized by the device dual simplex from
+    # that basis (nodes differ from the parent only in b, so the basis is
+    # dual feasible — tpulp.solve.dual); None means a cold two-phase solve.
     counter = itertools.count()
-    frontier: List[Tuple[float, int, Fraction, Bounds]] = []
+    frontier: List[Tuple[float, int, Fraction, Bounds, Optional[np.ndarray]]] = []
     incumbent: Optional[Solution] = None
     incumbent_z: Optional[Fraction] = None  # minimization value, EXACT
 
@@ -214,9 +220,10 @@ def solve_milp(
 
         loaded, incumbent_z, ck_meta = load_bnb_frontier(resume_from)
         counter = itertools.count(
-            start=1 + max((tb for _, tb, _ in loaded), default=0))
-        for bound, tb, bounds in loaded:
-            heapq.heappush(frontier, (float(bound), tb, bound, bounds))
+            start=1 + max((tb for _, tb, _, _ in loaded), default=0))
+        for bound, tb, bounds, pbasis in loaded:
+            heapq.heappush(frontier, (float(bound), tb, bound, bounds,
+                                      pbasis))
         inc = ck_meta.get("incumbent")
         if inc is not None:
             incumbent = Solution(
@@ -226,7 +233,8 @@ def solve_milp(
                 objective_min=Fraction(inc["objective_min"]))
     else:
         heapq.heappush(
-            frontier, (-1e18, next(counter), Fraction(-10**18), root_bounds))
+            frontier,
+            (-1e18, next(counter), Fraction(-10**18), root_bounds, None))
 
     def _checkpoint():
         from ..io.checkpoint import save_bnb_frontier
@@ -240,11 +248,23 @@ def solve_milp(
             }
         save_bnb_frontier(
             checkpoint_path,
-            [(bound, tb, bounds) for _, tb, bound, bounds in frontier],
+            [(bound, tb, bounds, pbasis)
+             for _, tb, bound, bounds, pbasis in frontier],
             incumbent_z, meta=meta)
     root_unbounded = False
     R = const = None  # device recover map, built once shapes are known
     template = art_row_mask = None  # device-resident batched wave template
+    warm_frame = None  # (A_aug, c_full, col_active, art_cols) of the root
+    art_start_batched = None  # first artificial column in batched space
+    art_cols_host = None  # cached host copy (identical every wave)
+
+    def _to_batched_basis(basis, sf_n: int) -> np.ndarray:
+        """sf-space basis (artificials at sf.n+k) -> batched column space."""
+        out = np.empty(len(basis), np.int32)
+        for i, j in enumerate(basis):
+            j = int(j)
+            out[i] = j if j < sf_n else art_start_batched + (j - sf_n)
+        return out
 
     def prune_margin() -> float:
         """Safety margin for float-mode pruning: only prune when the f64
@@ -277,18 +297,18 @@ def solve_milp(
                         col_values=dict(col_values), basis=list(basis)), {}
 
     while frontier and stats.nodes_solved < max_nodes:
-        wave: List[Tuple[Fraction, Bounds]] = []
+        wave: List[Tuple[Fraction, Bounds, Optional[np.ndarray]]] = []
         while frontier and len(wave) < batch_size:
-            _, _, bound, bounds = heapq.heappop(frontier)
+            _, _, bound, bounds, pbasis = heapq.heappop(frontier)
             # prune by parent bound against current incumbent
             if cannot_improve(bound):
                 stats.nodes_pruned_bound += 1
                 continue
-            wave.append((bound, bounds))
+            wave.append((bound, bounds, pbasis))
         if not wave:
             break
 
-        sfs = [_node_standard_form(root_sf, bounds) for _, bounds in wave]
+        sfs = [_node_standard_form(root_sf, bounds) for _, bounds, _ in wave]
         # device-resident template: nodes differ from the root ONLY in b, so
         # a wave uploads just the (B, m) RHS matrix and a jitted refresh
         # rewrites the batched state in place on device
@@ -297,39 +317,109 @@ def solve_milp(
             art_row_mask = jnp.asarray(
                 np.array([1.0 if h < 0 else 0.0
                           for h in root_sf.basis_hint]), template.T.dtype)
-        b_mat = np.empty((batch_size, root_sf.m), dtype=np.float64)
+            # root warm-start frame: constraint block INCLUDING artificial
+            # unit columns + phase-2 masks (tpulp.solve.dual reconstruction)
+            art0 = template.art_cols[0]
+            warm_frame = (
+                template.T[0, 2:, :-1],            # A_aug (m, n_batched)
+                template.T[0, 0, :-1],             # c_full
+                template.col_active[0] & ~art0,    # phase-2 active columns
+                art0,
+            )
+            art_np = np.asarray(art0)
+            art_start_batched = int(art_np.argmax()) if art_np.any() \
+                else art_np.shape[0]
+        n_wave = len(wave)
+        m_rows = root_sf.m
+        b_all = np.empty((n_wave, m_rows), dtype=np.float64)
         for k, sf in enumerate(sfs):
-            b_mat[k] = [float(v) for v in sf.b]
-        b_mat[len(sfs):] = b_mat[0]
-        batched = _refresh_template(
-            template, jnp.asarray(b_mat, dtype=template.T.dtype),
-            art_row_mask)
-        out = run_simplex_batch(batched, options)
-        sols = extract_batch_solutions(sfs, out, refine)
-        lane_of = list(range(len(sfs)))
-        stats.nodes_solved += len(wave)
+            b_all[k] = [float(v) for v in sf.b]
+        cold_idx = [k for k in range(n_wave) if wave[k][2] is None]
+        warm_idx = [k for k in range(n_wave) if wave[k][2] is not None]
+
+        outs = []  # (wave indices, terminal batched SimplexState)
+        if cold_idx:
+            b_mat = np.empty((batch_size, m_rows), dtype=np.float64)
+            b_mat[:len(cold_idx)] = b_all[cold_idx]
+            b_mat[len(cold_idx):] = b_all[cold_idx[0]]
+            batched = _refresh_template(
+                template, jnp.asarray(b_mat, dtype=template.T.dtype),
+                art_row_mask)
+            outs.append((cold_idx, run_simplex_batch(batched, options)))
+        if warm_idx:
+            from ..solve.dual import run_warm_batch
+
+            basis_mat = np.empty((batch_size, m_rows), dtype=np.int32)
+            bw = np.empty((batch_size, m_rows), dtype=np.float64)
+            for lane, k in enumerate(warm_idx):
+                basis_mat[lane] = wave[k][2]
+                bw[lane] = b_all[k]
+            basis_mat[len(warm_idx):] = basis_mat[0]
+            bw[len(warm_idx):] = bw[0]
+            wout = run_warm_batch(
+                *warm_frame, basis_mat,
+                jnp.asarray(bw, dtype=template.T.dtype), options)
+            outs.append((warm_idx, wout))
+            stats.warm_nodes += len(warm_idx)
+            stats.warm_pivots += int(
+                np.asarray(wout.niter)[:len(warm_idx)].sum())
+        stats.nodes_solved += n_wave
         stats.waves += 1
 
-        # ---- device integrality check: one call for the whole wave --------
-        if out is not None and branch_names:
-            if R is None:
-                np_dtype = np.asarray(out.T).dtype
-                R, const = _int_recover_matrix(
-                    root_sf, branch_names, out.T.shape[2] - 1, np_dtype)
-            maxdist, argmax = _wave_int_check(
-                out.T, out.basis, jnp.asarray(R), jnp.asarray(const))
-            maxdist = np.asarray(maxdist)
-            argmax = np.asarray(argmax)
-        else:
-            maxdist = argmax = None
+        # ---- merge sub-wave results + device integrality check ------------
+        sols: List[Optional[Solution]] = [None] * n_wave
+        maxdist = np.zeros(n_wave) if branch_names else None
+        argmax = np.zeros(n_wave, dtype=np.int64) if branch_names else None
+        bases_raw: List[Optional[np.ndarray]] = [None] * n_wave
+        for idxs, out in outs:
+            # queue the integrality check, then ONE bundled device read for
+            # everything the host loop needs (each separate np.asarray costs
+            # a full tunnel roundtrip; this was the dominant wave cost once
+            # warm starts shrank the solve itself)
+            if branch_names:
+                if R is None:
+                    np_dtype = np.dtype(str(out.T.dtype))
+                    R, const = _int_recover_matrix(
+                        root_sf, branch_names, out.T.shape[2] - 1, np_dtype)
+                md_d, am_d = _wave_int_check(
+                    out.T, out.basis, jnp.asarray(R), jnp.asarray(const))
+            else:
+                md_d = am_d = out.niter
+            if art_cols_host is None:
+                art_cols_host = np.asarray(template.art_cols)
+            statuses, niters, braw, corners, md, am = jax.device_get(
+                (out.status, out.niter, out.basis, out.T[:, 0, -1],
+                 md_d, am_d))
+            sub = extract_batch_solutions(
+                [sfs[i] for i in idxs], out, refine,
+                prefetched=(statuses, niters, braw, corners,
+                            art_cols_host))
+            for lane, i in enumerate(idxs):
+                sols[i] = sub[lane]
+                if branch_names:
+                    maxdist[i] = md[lane]
+                    argmax[i] = am[lane]
+                bases_raw[i] = braw[lane].copy()
 
-        for k, ((parent_bound, bounds), sol) in enumerate(zip(wave, sols)):
+        for k, ((parent_bound, bounds, _), sol) in enumerate(zip(wave, sols)):
             if sol.status in ("numerical_error", "iteration_limit"):
                 # a failed lane must not be silently dropped (it may hold the
                 # optimum): re-solve solo through the full precision ladder
                 stats.solo_resolves += 1
                 sol = solve_standard_form(
                     sfs[k], options=options, dtype=dtype, refine="exact")
+                if sol.status == "optimal" and sol.basis is not None:
+                    # replace the failed lane's artifacts with the solo
+                    # solve's: children warm-start from the good basis, and
+                    # integrality comes from the exact x values
+                    bases_raw[k] = _to_batched_basis(sol.basis, sfs[k].n)
+                    if branch_names:
+                        dists = [
+                            abs(v - round(v))
+                            for v in (float(sol.x[nm])
+                                      for nm in branch_names)]
+                        maxdist[k] = max(dists)
+                        argmax[k] = int(np.argmax(dists))
             if sol.status == "infeasible":
                 stats.nodes_pruned_infeasible += 1
                 continue
@@ -346,10 +436,8 @@ def solve_milp(
                 stats.nodes_pruned_bound += 1
                 continue
 
-            lane = lane_of[k] if maxdist is not None else -1
             looks_integral = (
-                not branch_names
-                or (lane >= 0 and float(maxdist[lane]) <= int_tol))
+                not branch_names or float(maxdist[k]) <= int_tol)
             if looks_integral:
                 # candidate incumbent: ALWAYS verify exactly (float iterates
                 # within int_tol of integers can still be exactly fractional)
@@ -378,11 +466,12 @@ def solve_milp(
                      if v.denominator != 1})
                 val = exact_vals[frac_name]
             else:
-                frac_name = branch_names[int(argmax[lane])]
+                frac_name = branch_names[int(argmax[k])]
                 val = Fraction(sol.x[frac_name]) if exact_mode else \
                     Fraction(float(sol.x[frac_name])).limit_denominator(10**9)
 
-            # branch
+            # branch: children inherit this node's terminal basis for the
+            # dual-simplex warm start (they differ from it only in b)
             lb, ub = bounds[frac_name]
             lo = Fraction(math.floor(val))
             hi = lo + 1
@@ -396,7 +485,7 @@ def solve_milp(
                     frontier,
                     (zf, next(counter),
                      z if exact_mode else Fraction(zf).limit_denominator(10**12),
-                     child))
+                     child, bases_raw[k]))
 
         if checkpoint_path is not None and \
                 stats.waves % max(checkpoint_every, 1) == 0:
