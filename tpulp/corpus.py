@@ -382,7 +382,42 @@ def _build_cases() -> List[CorpusCase]:
         CorpusCase("unbounded_ray", _unbounded_ray, None,
                    status="unbounded", size_hint=2),
     ]
+    cases.extend(_mps_file_cases())
     return cases
+
+
+def _mps_file_cases() -> List[CorpusCase]:
+    """LP fixtures from data/mps/, exercising the FULL file path
+    (read_mps -> lower -> solve) in every corpus sweep. Optima are pinned by
+    oracles independent of our simplex (brute-force matching, analytic
+    Klee-Minty, min-cost-flow — tests/test_mps_fixtures.py); the genuine
+    netlib archive is unreachable offline, so these are netlib-style files
+    in the same interchange format."""
+    import os
+
+    data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "mps")
+    pins = [
+        # (file, exact optimum, oracle, size_hint)
+        ("assign6.mps", F(36), "brute-force matching", 12),
+        ("kleeminty8.mps", F(5 ** 8), "analytic", 8),
+        ("transp45.mps", F(786), "min-cost-flow", 9),
+        ("prodmix.mps", F(-972), "host", 6),
+    ]
+    out = []
+    for fn, opt, oracle, hint in pins:
+        path = os.path.join(data, fn)
+        if not os.path.exists(path):
+            continue
+
+        def _mk(p=path):
+            from .io.mps import read_mps
+
+            return read_mps(p)
+
+        out.append(CorpusCase(f"mps_{fn.split('.')[0]}", _mk, opt,
+                              oracle=oracle, size_hint=hint))
+    return out
 
 
 CASES: List[CorpusCase] = _build_cases()
