@@ -141,3 +141,39 @@ def test_batch_corpus():
     for c, sol in zip(cases, sols):
         assert sol.status == "optimal", (c.name, sol.status)
         assert sol.objective == c.objective, (c.name, sol.objective)
+
+
+# sharded rank-K: full corpus sweep (VERDICT r2 item 7). The 256-row case is
+# capped out of the CPU suite like the other per-pivot-slow backends; it runs
+# on real TPU via bench.py --corpus --mesh.
+@pytest.mark.parametrize("case", SMALL, ids=SMALL_IDS)
+def test_sharded_blocked_driver(case):
+    import jax
+
+    from tpulp.shard import run_simplex_sharded_blocked
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    sf = case.lp().lower()
+    st = state_from_standard_form(sf)
+    out_sh = run_simplex_sharded_blocked(
+        to_sharded_state(st, mesh), mesh,
+        SolverOptions.for_dtype(st.T.dtype, max_iters=case.max_iters),
+        block=16)
+    out = from_sharded_state(out_sh, st.n)
+    _check(case, *_refined(sf, out))
+
+
+@pytest.mark.parametrize("case", SMALL, ids=SMALL_IDS)
+def test_solve_api_sharded(case):
+    """One-call sharded solve: solve_lp(..., mesh=...) shards, solves with
+    the rank-K SPMD driver, gathers, refines and certifies (VERDICT r2
+    item 7: the sharded path is now reachable from the public API)."""
+    from tpulp.solve import solve_lp
+
+    mesh = make_mesh(8)
+    sol = solve_lp(case.lp().lower(), max_iters=case.max_iters, mesh=mesh,
+                   shard_block=16)
+    assert sol.status == case.status, (case.name, sol.status)
+    if case.status == "optimal":
+        assert sol.objective == case.objective

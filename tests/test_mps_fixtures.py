@@ -183,3 +183,36 @@ def test_fixture_files_speak_standard_mps():
         text = write_mps_string(lp)
         lp2 = read_mps_string(text)
         assert sorted(lp2.mps_names.values()) == sorted(lp.mps_names.values())
+
+
+def test_redund_presolve_shrinks_and_matches():
+    """Presolve active on the MPS path (VERDICT r2 item 9): the fixture's
+    duplicate/scaled rows, singleton row and fixed column shrink 6 rows ->
+    2 and 4 vars -> 2, without moving the optimum."""
+    from tpulp.model.presolve import presolve
+
+    lp = _load("redund.mps")
+    res = presolve(lp)
+    assert len(lp.constraints) == 6 and len(res.prog.constraints) == 2
+    assert res.removed_rows >= 4 and len(res.fixed) == 2
+    assert res.fixed["W"] == 4 and res.fixed["GAMMA"] == 5
+    plain = solve_lp(lp)
+    pre = lp.solve(presolve=True)
+    assert plain.status == pre.status == "optimal"
+    assert plain.objective == pre.objective == -169
+    assert pre.x["W"] == 4 and pre.x["GAMMA"] == 5
+
+
+def test_cli_mps_defaults_to_presolve(tmp_path, capsys):
+    import json
+
+    from tpulp.__main__ import main
+
+    rc = main(["solve", os.path.join(DATA, "redund.mps")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "optimal" and out["objective"] == "-169"
+    rc = main(["solve", os.path.join(DATA, "redund.mps"), "--no-presolve"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "optimal" and out["objective"] == "-169"

@@ -16,7 +16,8 @@ import sys
 
 
 def _cmd_solve(args) -> int:
-    if args.file.lower().endswith(".mps"):
+    is_mps = args.file.lower().endswith(".mps")
+    if is_mps:
         from .io.mps import read_mps
 
         prog = read_mps(args.file)
@@ -24,6 +25,12 @@ def _cmd_solve(args) -> int:
         from .model.serialize import load_prog
 
         prog = load_prog(args.file)
+    # presolve defaults ON for MPS input (real-world files carry the
+    # redundancy presolve pays for); --no-presolve opts out
+    if args.no_presolve:
+        args.presolve = False
+    elif is_mps:
+        args.presolve = True
     if args.exact and not prog.isMixedInteger():
         from .simplex import Simplex
         from .tableau import Tableau
@@ -166,7 +173,10 @@ def main(argv=None) -> int:
                     choices=["dantzig", "bland", "max_increase"])
     p1.add_argument("--presolve", action="store_true",
                     help="exact presolve (fixings, singleton/duplicate "
-                         "rows, empty columns) before the device solve")
+                         "rows, empty columns) before the device solve; "
+                         "DEFAULT for .mps input")
+    p1.add_argument("--no-presolve", action="store_true",
+                    help="disable presolve (overrides the .mps default)")
     p1.set_defaults(fn=_cmd_solve)
 
     p2 = sub.add_parser("solve-tableau",

@@ -238,7 +238,8 @@ def read_mps_string(text: str) -> LinProg:
     row_names = []                       # original row name per constraint
 
     def add(rname, expr, comp, rhs):
-        lp.addConstraint(LinCon(expr, comp, LinExpr(rhs)))
+        # the original row name also keys the constraint's dual value
+        lp.addConstraint(LinCon(expr, comp, LinExpr(rhs)), name=rname)
         row_names.append(rname)
 
     for rname in row_order:

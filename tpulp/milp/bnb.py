@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.state import SolverOptions
+from ..core.state import SolverOptions, Status
 from ..model.lower import StandardForm, lower_to_standard_form
 from ..model.prog import LinProg
 from ..solve.api import Solution, solve_standard_form
@@ -105,23 +105,9 @@ def _refresh_template(template, b_mat, art_row_mask):
     return template._replace(T=T)
 
 
-@jax.jit
-def _wave_int_check(T, basis, R, const):
-    """Device integrality check, one vmapped pass over the wave.
-
-    Per lane: scatter the basic values (the RHS column) into a column-value
-    vector, map to original integer-variable values (``R @ x + const``, the
-    dense form of StandardForm.recover restricted to the branchable vars),
-    and reduce to the max distance-to-integer and its argmax (the
-    most-fractional branching variable)."""
-    def one(T1, basis1):
-        x = jnp.zeros((T1.shape[1] - 1,), T1.dtype)
-        x = x.at[basis1].set(T1[2:, -1])
-        vals = R @ x + const
-        dist = jnp.abs(vals - jnp.round(vals))
-        return jnp.max(dist), jnp.argmax(dist)
-
-    return jax.vmap(one)(T, basis)
+# the per-wave device integrality check now lives inside the fused wave
+# executables (tpulp.solve.dual._wave_summaries): status/niter/argmax/basis
+# and corner/maxdist come back as two packed arrays, one bundled fetch
 
 
 def _int_recover_matrix(sf: StandardForm, names: List[str], n_batched: int,
@@ -151,6 +137,7 @@ def solve_milp(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     resume_from: Optional[str] = None,
+    presolve: bool = True,
     **opt_overrides,
 ):
     """Solve a mixed-integer LinProg by branch-and-bound.
@@ -179,6 +166,44 @@ def solve_milp(
         raise TypeError("solve_milp needs the LinProg (it re-bounds integer "
                         "variables); pass the program, not a StandardForm")
 
+    if presolve and resume_from is None:
+        # exact root presolve (MILP-safe: integral bounds only ever snap
+        # tighter): every removed row/column shrinks EVERY node's tableau
+        from ..model.presolve import presolve as _presolve
+
+        res = _presolve(prog)
+        if res.status is not None:
+            sol = Solution(status=res.status)
+            return (sol, BnbStats()) if return_stats else sol
+        if res.unbounded_if_feasible:
+            feas = solve_milp(res.prog, options=options, dtype=dtype,
+                              batch_size=batch_size, max_nodes=max_nodes,
+                              refine=refine, exact_max_m=exact_max_m,
+                              int_tol=int_tol, presolve=False)
+            status = "infeasible" if feas.status == "infeasible" \
+                else "unbounded"
+            sol = Solution(status=status)
+            return (sol, BnbStats()) if return_stats else sol
+        if not res.prog.allVarNames():   # fully solved by presolve
+            obj = res.prog.objective.expr.getConstant()
+            sol = Solution(status="optimal", objective=obj,
+                           x=res.recover({}))
+            return (sol, BnbStats()) if return_stats else sol
+        if res.fixed or res.removed_rows or res.removed_vars:
+            out = solve_milp(res.prog, options=options, dtype=dtype,
+                             batch_size=batch_size, max_nodes=max_nodes,
+                             refine=refine, exact_max_m=exact_max_m,
+                             int_tol=int_tol, return_stats=return_stats,
+                             checkpoint_path=checkpoint_path,
+                             checkpoint_every=checkpoint_every,
+                             presolve=False, **opt_overrides)
+            sol, st = out if return_stats else (out, None)
+            if sol.x is not None:
+                sol = dataclasses.replace(
+                    sol, x=res.recover(sol.x), basis=None, col_values=None)
+            return (sol, st) if return_stats else sol
+        prog = res.prog  # no reductions: fall through (names unchanged)
+
     int_vars = {name: v for name, v in prog.vars.items() if v.isint}
     stats = BnbStats()
     if not int_vars:
@@ -206,12 +231,17 @@ def solve_milp(
     branch_names = list(root_bounds)
 
     # frontier: (parent LP bound as float, tiebreak, exact bound, bounds
-    # dict, parent terminal basis in BATCHED column space or None). A node
-    # with a parent basis is re-optimized by the device dual simplex from
-    # that basis (nodes differ from the parent only in b, so the basis is
-    # dual feasible — tpulp.solve.dual); None means a cold two-phase solve.
+    # dict, warm_ref or None). ``warm_ref = (slot, col, delta)`` names the
+    # parent's terminal frame in the device-resident STATE POOL: the child
+    # is derived by the sparse RHS rewrite ``T[:, -1] += delta * T[:, col]``
+    # in the parent's basis frame and re-optimized by the device dual
+    # simplex (tpulp.solve.dual) — no refactorization, no tableau re-upload,
+    # and every wave runs the same fixed-shape executables (pool gather is
+    # inside the jit; variable-shape eager gathers cost a remote mini-compile
+    # per wave on the tunneled TPU). None means a cold two-phase solve
+    # (root, resumed nodes, children of solo-resolved lanes, pool overflow).
     counter = itertools.count()
-    frontier: List[Tuple[float, int, Fraction, Bounds, Optional[np.ndarray]]] = []
+    frontier: List[Tuple] = []
     incumbent: Optional[Solution] = None
     incumbent_z: Optional[Fraction] = None  # minimization value, EXACT
 
@@ -221,9 +251,10 @@ def solve_milp(
         loaded, incumbent_z, ck_meta = load_bnb_frontier(resume_from)
         counter = itertools.count(
             start=1 + max((tb for _, tb, _, _ in loaded), default=0))
-        for bound, tb, bounds, pbasis in loaded:
-            heapq.heappush(frontier, (float(bound), tb, bound, bounds,
-                                      pbasis))
+        for bound, tb, bounds, _pbasis in loaded:
+            # device states are not serializable: resumed nodes re-solve
+            # cold; their children warm-start again from the first wave on
+            heapq.heappush(frontier, (float(bound), tb, bound, bounds, None))
         inc = ck_meta.get("incumbent")
         if inc is not None:
             incumbent = Solution(
@@ -248,30 +279,71 @@ def solve_milp(
             }
         save_bnb_frontier(
             checkpoint_path,
-            [(bound, tb, bounds, pbasis)
-             for _, tb, bound, bounds, pbasis in frontier],
+            [(bound, tb, bounds, None)
+             for _, tb, bound, bounds, _ref in frontier],
             incumbent_z, meta=meta)
     root_unbounded = False
-    R = const = None  # device recover map, built once shapes are known
+    R_dev = const_dev = None  # device recover map for the integrality check
     template = art_row_mask = None  # device-resident batched wave template
-    warm_frame = None  # (A_aug, c_full, col_active, art_cols) of the root
-    art_start_batched = None  # first artificial column in batched space
+    deferred = None   # (out, slots, lanes): pool writes riding the next wave
+    last_out = None   # previous wave's terminal state (deferred-write source)
+    warm_masks = None  # (col_active, art_cols) phase-2 masks of the root
     art_cols_host = None  # cached host copy (identical every wave)
+    art_start_batched = 0  # first artificial column in batched space
 
-    def _to_batched_basis(basis, sf_n: int) -> np.ndarray:
-        """sf-space basis (artificials at sf.n+k) -> batched column space."""
-        out = np.empty(len(basis), np.int32)
-        for i, j in enumerate(basis):
-            j = int(j)
-            out[i] = j if j < sf_n else art_start_batched + (j - sf_n)
-        return out
+    def _remap_basis_col(j: int, sf_n: int) -> int:
+        """Batched column space -> sf space (artificials at sf.n + k)."""
+        return j if j < sf_n else sf_n + (j - art_start_batched)
+
+    # ---- device state pool (parent terminal frames for warm starts) -------
+    pool_T = pool_basis = None
+    pool_cap = 0
+    free_slots: List[int] = []
+    slot_refs: Dict[int, int] = {}
+
+    def _pool_init():
+        nonlocal pool_T, pool_basis, pool_cap, free_slots
+        bytes_per = ((root_sf.m + 2)
+                     * (template.T.shape[2]) * template.T.dtype.itemsize)
+        pool_cap = int(min(2048, max(4 * batch_size, 64),
+                           max(64, 512_000_000 // max(bytes_per, 1))))
+        pool_T = jnp.zeros((pool_cap,) + template.T.shape[1:],
+                           template.T.dtype)
+        pool_basis = jnp.zeros((pool_cap, root_sf.m), jnp.int32)
+        free_slots = list(range(pool_cap))
+
+    def _slot_release(slot: int):
+        slot_refs[slot] -= 1
+        if slot_refs[slot] == 0:
+            del slot_refs[slot]
+            free_slots.append(slot)
+
+    # per-row slack/surplus column + sign: the sparse child-RHS rewrite uses
+    # row i's slack column (+1, original column e_i) or surplus (-1, -e_i)
+    row_adj: Dict[int, Tuple[int, int]] = {}
+    for j, nm in enumerate(root_sf.col_names):
+        if j < root_sf.n_struct:
+            continue  # structural columns; user names may mimic _s/_e
+        if nm.startswith("_s"):
+            row_adj[int(nm[2:])] = (j, 1)
+        elif nm.startswith("_e"):
+            row_adj[int(nm[2:])] = (j, -1)
+
+    from ..core.state import canonical_dtype
+
+    _is_f32 = canonical_dtype(dtype) == jnp.dtype(np.float32)
 
     def prune_margin() -> float:
-        """Safety margin for float-mode pruning: only prune when the f64
-        bound certifies the node cannot beat the incumbent."""
+        """Safety margin for float-mode pruning: only prune when the float
+        bound certifies the node cannot beat the incumbent. With f32
+        iterates the bound comes straight from the tableau corner (no f64
+        re-solve per lane), so the margin is scaled to f32 drift — a larger
+        margin only errs toward exploring more, never toward wrong prunes;
+        incumbents are exact-verified regardless."""
         if exact_mode or incumbent_z is None:
             return 0.0
-        return 1e-7 * (1.0 + abs(float(incumbent_z)))
+        eps = 3e-5 if _is_f32 else 1e-7
+        return eps * (1.0 + abs(float(incumbent_z)))
 
     def cannot_improve(bound) -> bool:
         if incumbent_z is None:
@@ -297,72 +369,99 @@ def solve_milp(
                         col_values=dict(col_values), basis=list(basis)), {}
 
     while frontier and stats.nodes_solved < max_nodes:
-        wave: List[Tuple[Fraction, Bounds, Optional[np.ndarray]]] = []
+        wave: List[Tuple[Fraction, Bounds, Optional[Tuple]]] = []
         while frontier and len(wave) < batch_size:
-            _, _, bound, bounds, pbasis = heapq.heappop(frontier)
+            _, _, bound, bounds, warm_ref = heapq.heappop(frontier)
+            if warm_ref is not None:
+                # this child's claim on its parent's pool slot ends once it
+                # is consumed here (functional pool updates make same-cycle
+                # slot reuse safe: the wave reads the pre-write pool value)
+                _slot_release(warm_ref[0])
             # prune by parent bound against current incumbent
             if cannot_improve(bound):
                 stats.nodes_pruned_bound += 1
                 continue
-            wave.append((bound, bounds, pbasis))
+            wave.append((bound, bounds, warm_ref))
         if not wave:
             break
 
         sfs = [_node_standard_form(root_sf, bounds) for _, bounds, _ in wave]
         # device-resident template: nodes differ from the root ONLY in b, so
-        # a wave uploads just the (B, m) RHS matrix and a jitted refresh
+        # a cold wave uploads just the (B, m) RHS matrix and a jitted refresh
         # rewrites the batched state in place on device
         if template is None:
             template = make_batched_states([sfs[0]] * batch_size, dtype=dtype)
             art_row_mask = jnp.asarray(
                 np.array([1.0 if h < 0 else 0.0
                           for h in root_sf.basis_hint]), template.T.dtype)
-            # root warm-start frame: constraint block INCLUDING artificial
-            # unit columns + phase-2 masks (tpulp.solve.dual reconstruction)
             art0 = template.art_cols[0]
-            warm_frame = (
-                template.T[0, 2:, :-1],            # A_aug (m, n_batched)
-                template.T[0, 0, :-1],             # c_full
-                template.col_active[0] & ~art0,    # phase-2 active columns
-                art0,
-            )
-            art_np = np.asarray(art0)
-            art_start_batched = int(art_np.argmax()) if art_np.any() \
-                else art_np.shape[0]
+            warm_masks = (template.col_active[0] & ~art0, art0)
+            art_cols_host = np.asarray(template.art_cols)
+            art_start_batched = int(art_cols_host[0].argmax()) \
+                if art_cols_host[0].any() else art_cols_host.shape[1]
+            _pool_init()
+            np_dtype = np.dtype(str(template.T.dtype))
+            n_batched = template.T.shape[2] - 1
+            if branch_names:
+                R_np, const_np = _int_recover_matrix(
+                    root_sf, branch_names, n_batched, np_dtype)
+            else:  # no integer vars to check: harmless 1-row placeholder
+                R_np = np.zeros((1, n_batched), dtype=np_dtype)
+                const_np = np.zeros((1,), dtype=np_dtype)
+            R_dev = jnp.asarray(R_np)
+            const_dev = jnp.asarray(const_np)
+            max_iters_dev = jnp.asarray(options.max_iters, jnp.int32)
         n_wave = len(wave)
         m_rows = root_sf.m
-        b_all = np.empty((n_wave, m_rows), dtype=np.float64)
-        for k, sf in enumerate(sfs):
-            b_all[k] = [float(v) for v in sf.b]
         cold_idx = [k for k in range(n_wave) if wave[k][2] is None]
         warm_idx = [k for k in range(n_wave) if wave[k][2] is not None]
 
-        outs = []  # (wave indices, terminal batched SimplexState)
+        # each sub-wave returns ONE packed summary array so the host pays a
+        # single fetch (tunnel roundtrips dominated wave time)
+        outs = []  # (wave indices, out_state, is_warm, summary)
         if cold_idx:
+            from ..solve.dual import pack_wave_summary
+
             b_mat = np.empty((batch_size, m_rows), dtype=np.float64)
-            b_mat[:len(cold_idx)] = b_all[cold_idx]
-            b_mat[len(cold_idx):] = b_all[cold_idx[0]]
+            for lane, k in enumerate(cold_idx):
+                b_mat[lane] = [float(v) for v in sfs[k].b]
+            b_mat[len(cold_idx):] = b_mat[0]
             batched = _refresh_template(
                 template, jnp.asarray(b_mat, dtype=template.T.dtype),
                 art_row_mask)
-            outs.append((cold_idx, run_simplex_batch(batched, options)))
+            cout = run_simplex_batch(batched, options)
+            outs.append((cold_idx, cout, False,
+                         pack_wave_summary(cout, R_dev, const_dev)))
         if warm_idx:
-            from ..solve.dual import run_warm_batch
+            from ..solve.dual import run_warm_wave
 
-            basis_mat = np.empty((batch_size, m_rows), dtype=np.int32)
-            bw = np.empty((batch_size, m_rows), dtype=np.float64)
+            # ONE (B, 5) int32 upload: [parent slot, rewrite col, deferred
+            # write slot, deferred write lane, integral rhs delta]
+            ipack = np.zeros((batch_size, 5), np.int32)
+            ipack[:, 2] = pool_cap          # default: dropped write
             for lane, k in enumerate(warm_idx):
-                basis_mat[lane] = wave[k][2]
-                bw[lane] = b_all[k]
-            basis_mat[len(warm_idx):] = basis_mat[0]
-            bw[len(warm_idx):] = bw[0]
-            wout = run_warm_batch(
-                *warm_frame, basis_mat,
-                jnp.asarray(bw, dtype=template.T.dtype), options)
-            outs.append((warm_idx, wout))
+                slot, col, delta = wave[k][2]
+                ipack[lane, 0] = slot
+                ipack[lane, 1] = col
+                ipack[lane, 4] = delta
+            ipack[len(warm_idx):, 0] = ipack[0, 0]  # padded: repeat lane 0
+            ipack[len(warm_idx):, 1] = ipack[0, 1]
+            ipack[len(warm_idx):, 4] = ipack[0, 4]
+            # the previous wave's branched frames ride into the pool inside
+            # this same executable (deferred writes)
+            if deferred is not None:
+                prev_out, wslots, wlanes = deferred
+            else:
+                prev_out, wslots, wlanes = last_out, [], []
+            ipack[:len(wslots), 2] = wslots
+            ipack[:len(wlanes), 3] = wlanes
+            deferred = None
+            pool_T, pool_basis, wout, summ_w = run_warm_wave(
+                pool_T, pool_basis, *warm_masks,
+                prev_out.T, prev_out.basis, ipack,
+                R_dev, const_dev, max_iters_dev, options)
+            outs.append((warm_idx, wout, True, summ_w))
             stats.warm_nodes += len(warm_idx)
-            stats.warm_pivots += int(
-                np.asarray(wout.niter)[:len(warm_idx)].sum())
         stats.nodes_solved += n_wave
         stats.waves += 1
 
@@ -370,36 +469,57 @@ def solve_milp(
         sols: List[Optional[Solution]] = [None] * n_wave
         maxdist = np.zeros(n_wave) if branch_names else None
         argmax = np.zeros(n_wave, dtype=np.int64) if branch_names else None
-        bases_raw: List[Optional[np.ndarray]] = [None] * n_wave
-        for idxs, out in outs:
-            # queue the integrality check, then ONE bundled device read for
-            # everything the host loop needs (each separate np.asarray costs
-            # a full tunnel roundtrip; this was the dominant wave cost once
-            # warm starts shrank the solve itself)
-            if branch_names:
-                if R is None:
-                    np_dtype = np.dtype(str(out.T.dtype))
-                    R, const = _int_recover_matrix(
-                        root_sf, branch_names, out.T.shape[2] - 1, np_dtype)
-                md_d, am_d = _wave_int_check(
-                    out.T, out.basis, jnp.asarray(R), jnp.asarray(const))
+        branchval = np.zeros(n_wave) if branch_names else None
+        state_ref: List[Optional[Tuple]] = [None] * n_wave
+        pending_writes: List[Tuple[Tuple, int]] = []  # ((out, lane), slot)
+        if art_cols_host is None:
+            art_cols_host = np.asarray(template.art_cols)
+        for idxs, out, is_warm, summ in outs:
+            # ONE device read per sub-wave: [corner, maxdist, branch-value,
+            # status, niter, argmax, basis...] — each separate fetch costs a
+            # full tunnel roundtrip, the dominant wave cost once warm starts
+            # shrank the solves (int fields are exact in the float dtype)
+            summ = np.asarray(summ)
+            corners = summ[:, 0]
+            md = summ[:, 1]
+            bval = summ[:, 2]
+            statuses = summ[:, 3].astype(np.int32)
+            niters = summ[:, 4].astype(np.int32)
+            am = summ[:, 5].astype(np.int32)
+            braw = summ[:, 6:].astype(np.int32)
+            if is_warm:
+                stats.warm_pivots += int(niters[:len(idxs)].sum())
+            if exact_mode:
+                # exact bounds contract: per-lane exact refinement
+                sub = extract_batch_solutions(
+                    [sfs[i] for i in idxs], out, refine,
+                    prefetched=(statuses, niters, braw, corners,
+                                art_cols_host))
             else:
-                md_d = am_d = out.niter
-            if art_cols_host is None:
-                art_cols_host = np.asarray(template.art_cols)
-            statuses, niters, braw, corners, md, am = jax.device_get(
-                (out.status, out.niter, out.basis, out.T[:, 0, -1],
-                 md_d, am_d))
-            sub = extract_batch_solutions(
-                [sfs[i] for i in idxs], out, refine,
-                prefetched=(statuses, niters, braw, corners,
-                            art_cols_host))
+                # float64 bounding mode: the summary IS the per-node result
+                # (bound from the tableau corner with a dtype-aware pruning
+                # margin; incumbent candidates get the exact basis check
+                # below regardless) — skips 3 host linear solves per lane
+                sub = []
+                for lane, i in enumerate(idxs):
+                    status = Status.NAMES.get(int(statuses[lane]), "unknown")
+                    if status != "optimal":
+                        sub.append(Solution(status=status,
+                                            niter=int(niters[lane])))
+                        continue
+                    zmin = float(-corners[lane]) + float(sfs[i].obj_const)
+                    basis = [_remap_basis_col(int(j), sfs[i].n)
+                             for j in braw[lane][:m_rows]]
+                    sub.append(Solution(
+                        status="optimal", objective_min=zmin,
+                        basis=basis, niter=int(niters[lane])))
             for lane, i in enumerate(idxs):
                 sols[i] = sub[lane]
                 if branch_names:
                     maxdist[i] = md[lane]
                     argmax[i] = am[lane]
-                bases_raw[i] = braw[lane].copy()
+                    branchval[i] = bval[lane]
+                state_ref[i] = (out, lane)
 
         for k, ((parent_bound, bounds, _), sol) in enumerate(zip(wave, sols)):
             if sol.status in ("numerical_error", "iteration_limit"):
@@ -408,18 +528,16 @@ def solve_milp(
                 stats.solo_resolves += 1
                 sol = solve_standard_form(
                     sfs[k], options=options, dtype=dtype, refine="exact")
-                if sol.status == "optimal" and sol.basis is not None:
-                    # replace the failed lane's artifacts with the solo
-                    # solve's: children warm-start from the good basis, and
-                    # integrality comes from the exact x values
-                    bases_raw[k] = _to_batched_basis(sol.basis, sfs[k].n)
-                    if branch_names:
-                        dists = [
-                            abs(v - round(v))
-                            for v in (float(sol.x[nm])
-                                      for nm in branch_names)]
-                        maxdist[k] = max(dists)
-                        argmax[k] = int(np.argmax(dists))
+                # the failed lane's device state is untrustworthy: children
+                # of this node re-solve cold, and integrality comes from the
+                # solo solve's exact x values
+                state_ref[k] = None
+                if sol.status == "optimal" and branch_names:
+                    dists = [
+                        abs(v - round(v))
+                        for v in (float(sol.x[nm]) for nm in branch_names)]
+                    maxdist[k] = max(dists)
+                    argmax[k] = int(np.argmax(dists))
             if sol.status == "infeasible":
                 stats.nodes_pruned_infeasible += 1
                 continue
@@ -467,25 +585,100 @@ def solve_milp(
                 val = exact_vals[frac_name]
             else:
                 frac_name = branch_names[int(argmax[k])]
-                val = Fraction(sol.x[frac_name]) if exact_mode else \
-                    Fraction(float(sol.x[frac_name])).limit_denominator(10**9)
+                if exact_mode:
+                    val = Fraction(sol.x[frac_name])
+                elif sol.x is not None:  # solo-resolved lane: exact x
+                    val = Fraction(
+                        float(sol.x[frac_name])).limit_denominator(10**9)
+                else:  # device-computed branch value from the wave summary
+                    val = Fraction(
+                        float(branchval[k])).limit_denominator(10**9)
 
-            # branch: children inherit this node's terminal basis for the
-            # dual-simplex warm start (they differ from it only in b)
+            # branch: each child differs from THIS node in one bound row's
+            # b — park this node's terminal frame in the pool and encode the
+            # sparse rewrite for the dual-simplex warm start
             lb, ub = bounds[frac_name]
             lo = Fraction(math.floor(val))
             hi = lo + 1
             zf = float(z)
+            le_row, ge_row = root_sf.int_bound_rows[frac_name]
+            slot = None
+            if state_ref[k] is not None and free_slots:
+                slot = free_slots.pop()
+            warm_children = 0
             for child_lb, child_ub in (((lb, lo)), ((hi, ub))):
                 if child_lb > child_ub:
                     continue
                 child = dict(bounds)
                 child[frac_name] = (child_lb, child_ub)
+                warm_ref = None
+                if slot is not None:
+                    if child_ub != ub:       # down child: le row moves
+                        row, delta_b = le_row, child_ub - ub
+                    else:                    # up child: ge row moves
+                        row, delta_b = ge_row, child_lb - lb
+                    adj = row_adj.get(row)
+                    # the delta rides in the int32 upload pack: integral
+                    # bounds are snapped so it is always an exact integer
+                    # (guarded anyway for exotic magnitudes)
+                    if (adj is not None and delta_b.denominator == 1
+                            and abs(delta_b) < 2 ** 31):
+                        col, sign = adj
+                        warm_ref = (slot, col, int(sign * delta_b))
+                        warm_children += 1
                 heapq.heappush(
                     frontier,
                     (zf, next(counter),
                      z if exact_mode else Fraction(zf).limit_denominator(10**12),
-                     child, bases_raw[k]))
+                     child, warm_ref))
+            if slot is not None:
+                if warm_children:
+                    slot_refs[slot] = warm_children
+                    pending_writes.append((state_ref[k], slot))
+                else:
+                    free_slots.append(slot)
+
+        if outs:
+            last_out = outs[-1][1]
+        if pending_writes:
+            # park every branched node's terminal frame in the pool. The
+            # writes of ONE source state (the warm out when present) are
+            # DEFERRED: they ride inside the next warm executable instead of
+            # paying their own dispatch; any other group (mixed cold+warm
+            # waves, or a still-unconsumed older deferral) flushes now via
+            # the fixed-shape pool_write (padded slots are out-of-range and
+            # dropped).
+            from ..solve.dual import pool_write
+
+            def _flush(out, slots, lanes):
+                nonlocal pool_T, pool_basis
+                s_arr = np.full((batch_size,), pool_cap, np.int32)
+                l_arr = np.zeros((batch_size,), np.int32)
+                s_arr[:len(slots)] = slots
+                l_arr[:len(lanes)] = lanes
+                pool_T, pool_basis = pool_write(
+                    pool_T, pool_basis, jnp.asarray(s_arr),
+                    out.T, out.basis, jnp.asarray(l_arr))
+
+            if deferred is not None:
+                # an older deferral was never consumed (no warm lanes in
+                # this wave): flush it before staging a new one
+                _flush(*deferred)
+                deferred = None
+            wgroups: Dict[int, Tuple[SimplexState, List[int], List[int]]] = {}
+            for (out, lane), slot in pending_writes:
+                g = wgroups.setdefault(id(out.T), (out, [], []))
+                g[1].append(slot)
+                g[2].append(lane)
+            defer_key = None
+            for idxs, out, is_warm, _ in outs:
+                if id(out.T) in wgroups:
+                    defer_key = id(out.T)  # later entry = warm out preferred
+            for key, (out, slots, lanes) in wgroups.items():
+                if key == defer_key:
+                    deferred = (out, slots, lanes)
+                else:
+                    _flush(out, slots, lanes)
 
         if checkpoint_path is not None and \
                 stats.waves % max(checkpoint_every, 1) == 0:

@@ -79,6 +79,12 @@ class StandardForm:
     # integer var name -> shift const so node bound u maps to b = u - shift
     int_shift: Dict[str, Fraction] = field(default_factory=dict)
     n_struct: int = 0  # structural columns (before slacks)
+    # per-standard-row provenance: ("con", user_constraint_index, sign) for
+    # user constraints (sign = -1 when the row was negated to make b >= 0),
+    # ("bound", column, sign) for variable upper-bound rows,
+    # ("intbound", 0, sign) for dedicated integer bound rows — the map that
+    # carries row duals back to the USER's constraints (solve/duals)
+    row_provenance: List[Tuple[str, int, int]] = field(default_factory=list)
 
     @property
     def m(self) -> int:
@@ -132,13 +138,16 @@ class StandardForm:
 
 
 def _canon_rows(prog: LinProg, subst, ncols) -> Tuple[
-        List[List[Fraction]], List[Fraction], List[str], bool]:
-    """Rewrite constraints over columns -> (rows, rhs, comps, trivially_infeas)."""
+        List[List[Fraction]], List[Fraction], List[str], bool,
+        List[Tuple[str, int, int]]]:
+    """Rewrite constraints over columns -> (rows, rhs, comps,
+    trivially_infeas, provenance)."""
     rows: List[List[Fraction]] = []
     rhs: List[Fraction] = []
     comps: List[str] = []
+    prov: List[Tuple[str, int, int]] = []
     infeas = False
-    for con in prog.constraints:
+    for ci, con in enumerate(prog.constraints):
         canon = con.simplify()  # vars on left, constant on right
         row = [ZERO] * ncols
         shift = ZERO  # constant contributed by substitutions
@@ -157,7 +166,8 @@ def _canon_rows(prog: LinProg, subst, ncols) -> Tuple[
         rows.append(row)
         rhs.append(r)
         comps.append(canon.comp)
-    return rows, rhs, comps, infeas
+        prov.append(("con", ci, 1))
+    return rows, rhs, comps, infeas, prov
 
 
 def lower_to_standard_form(
@@ -208,7 +218,7 @@ def lower_to_standard_form(
     n_struct = len(col_names)
 
     # ---- constraint rows ----------------------------------------------------
-    rows, rhs, comps, cinfeas = _canon_rows(prog, subst, n_struct)
+    rows, rhs, comps, cinfeas, prov = _canon_rows(prog, subst, n_struct)
     trivially_infeasible = trivially_infeasible or cinfeas
 
     # variable upper-bound rows (x_col <= u, u >= 0 by construction)
@@ -218,6 +228,7 @@ def lower_to_standard_form(
         rows.append(row)
         rhs.append(upper)
         comps.append("<=")
+        prov.append(("bound", col, 1))
 
     # dedicated integer bound rows: node-dependent data lives ONLY in b
     int_bound_rows: Dict[str, Tuple[int, int]] = {}
@@ -242,10 +253,12 @@ def lower_to_standard_form(
             rows.append(list(row))
             rhs.append(ub - const)
             comps.append("<=")
+            prov.append(("intbound", 0, 1))
             # x - const >= lb - const   (rhs >= 0: col shift uses lb itself)
             rows.append(list(row))
             rhs.append(lb - const)
             comps.append(">=")
+            prov.append(("intbound", 0, 1))
             int_bound_rows[name] = (len(rows) - 2, len(rows) - 1)
             int_shift[name] = const
 
@@ -255,6 +268,7 @@ def lower_to_standard_form(
         rows.append([ZERO] * n_struct)
         rhs.append(ZERO)
         comps.append("<=")
+        prov.append(("pad", 0, 1))
 
     # ---- sign-normalize then add slack/surplus ------------------------------
     m = len(rows)
@@ -263,6 +277,8 @@ def lower_to_standard_form(
             rows[i] = [-v for v in rows[i]]
             rhs[i] = -rhs[i]
             comps[i] = {"==": "==", "<=": ">=", ">=": "<="}[comps[i]]
+            kind, ref, sign = prov[i]
+            prov[i] = (kind, ref, -sign)
 
     basis_hint = [-1] * m
     for i in range(m):
@@ -303,4 +319,5 @@ def lower_to_standard_form(
         int_bound_rows=int_bound_rows,
         int_shift=int_shift,
         n_struct=n_struct,
+        row_provenance=prov,
     )

@@ -187,6 +187,7 @@ def presolve(prog: LinProg, max_rounds: int = 25) -> PresolveResult:
             res.removed_rows += len(kept) - len(rows)
             changed = True
         lp.constraints = rows
+        lp.con_names = [None] * len(rows)  # reduced-space rows are unnamed
 
         # -- 6: empty columns -> optimizing bound ---------------------------
         used = set()

@@ -48,6 +48,7 @@ class LinProg:
         self.name = name
         self.objective: Objective = Objective(LinExpr(), MIN)
         self.constraints: List[LinCon] = []
+        self.con_names: List[Optional[str]] = []  # aligned, entries optional
         self.vars: Dict[str, LinVar] = {}
 
     # -- building ------------------------------------------------------------
@@ -69,10 +70,13 @@ class LinProg:
         self.vars[v.x] = v
         return v
 
-    def addConstraint(self, con: LinCon) -> LinCon:
+    def addConstraint(self, con: LinCon, name: Optional[str] = None) -> LinCon:
+        """Add a constraint; an optional ``name`` keys its dual value in
+        ``Solution.duals`` (sensitivity output)."""
         if not isinstance(con, LinCon):
             raise TypeError(f"expected LinCon, got {type(con).__name__}")
         self.constraints.append(con)
+        self.con_names.append(name)
         return con
 
     def addConstraints(self, cons) -> None:
@@ -116,6 +120,7 @@ class LinProg:
         out = LinProg(self.name)
         out.objective = self.objective.copy()
         out.constraints = [c.copy() for c in self.constraints]
+        out.con_names = list(self.con_names)
         out.vars = {k: v.copy() for k, v in self.vars.items()}
         return out
 

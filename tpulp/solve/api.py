@@ -56,6 +56,13 @@ class Solution:
     # standard-form row; populated when the solve is asked for them
     # (solve_lp(..., duals=True))
     y: Optional[list] = None
+    # ORIGINAL-problem sensitivity (solve_lp(LinProg, duals=True)):
+    # shadow prices keyed by constraint index AND name (sense-corrected to
+    # the user's objective sense), and per-variable reduced costs
+    # c_j - y.A_j over the original data (tpulp.solve.refine
+    # .original_sensitivity)
+    duals: Optional[Dict] = None
+    reduced_costs: Optional[Dict[str, Any]] = None
 
     @property
     def is_optimal(self) -> bool:
@@ -116,6 +123,10 @@ def solve_standard_form(
     refine: str = "auto",
     fallback: str = "auto",
     duals: bool = False,
+    mesh=None,
+    shard_axis="cols",
+    shard_driver: str = "blocked",
+    shard_block: int = 64,
     _depth: int = 0,
 ) -> Solution:
     """Solve a lowered StandardForm on the device path.
@@ -124,13 +135,36 @@ def solve_standard_form(
     drivers report Status.NUMERIC when f32 iterates go non-finite; the
     refinement step catches singular/infeasible float bases): f32 device ->
     f64 device (when x64 is available) -> exact-rational host simplex.
-    ``fallback='none'`` reports ``numerical_error`` instead."""
+    ``fallback='none'`` reports ``numerical_error`` instead.
+
+    ``mesh`` (a ``jax.sharding.Mesh``, e.g. ``tpulp.shard.make_mesh()``)
+    column-shards the tableau over the mesh axis/axes ``shard_axis`` and
+    solves with the explicit-SPMD drivers (``shard_driver='blocked'`` =
+    rank-K eta with one fused psum per pivot; ``'rank1'`` = the simple
+    shard_map driver). The gathered result goes through the SAME
+    refinement + certificate pipeline as a single-device solve; precision
+    escalation falls back to a single-device/host solve (the ladder's
+    correctness, not its parallelism, is the contract)."""
     if options is None:
         options = SolverOptions.for_dtype(dtype)
     if sf.trivially_infeasible:
         return Solution(status="infeasible")
     state = state_from_standard_form(sf, dtype=dtype)
-    out = run_simplex(state, options)
+    if mesh is not None:
+        from ..shard import (from_sharded_state, run_simplex_sharded,
+                             run_simplex_sharded_blocked, to_sharded_state)
+
+        sh = to_sharded_state(state, mesh, axis=shard_axis)
+        if shard_driver == "blocked":
+            osh = run_simplex_sharded_blocked(
+                sh, mesh, options, block=shard_block, axis=shard_axis)
+        elif shard_driver == "rank1":
+            osh = run_simplex_sharded(sh, mesh, options, axis=shard_axis)
+        else:
+            raise ValueError(f"unknown shard_driver {shard_driver!r}")
+        out = from_sharded_state(osh, state.n)
+    else:
+        out = run_simplex(state, options)
     status_code = int(out.status)
     status = Status.NAMES.get(status_code, f"status_{status_code}")
     niter = int(out.niter)
@@ -237,6 +271,10 @@ def solve_lp(
     refine: str = "auto",
     fallback: str = "auto",
     duals: bool = False,
+    mesh=None,
+    shard_axis="cols",
+    shard_driver: str = "blocked",
+    shard_block: int = 64,
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
@@ -244,11 +282,26 @@ def solve_lp(
     ``opt_overrides`` are SolverOptions field overrides, e.g.
     ``solve_lp(lp, max_iters=500, rule=RULE_BLAND)``. ``duals=True`` also
     reports the row duals (shadow prices, minimization sense) in
-    ``Solution.y`` — exact Fractions when refinement is exact."""
+    ``Solution.y`` — exact Fractions when refinement is exact.
+
+    ``mesh=tpulp.shard.make_mesh()`` makes this a one-call MULTI-CHIP solve:
+    the tableau is column-sharded over the mesh, solved with the explicit
+    SPMD rank-K driver, gathered, refined and certified exactly like the
+    single-device path (see ``solve_standard_form``)."""
     if options is None:
         options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
-    sf = prog if isinstance(prog, StandardForm) else lower_to_standard_form(prog)
-    return solve_standard_form(sf, options=options, dtype=dtype,
-                               refine=refine, fallback=fallback, duals=duals)
+    is_prog = not isinstance(prog, StandardForm)
+    sf = lower_to_standard_form(prog) if is_prog else prog
+    sol = solve_standard_form(sf, options=options, dtype=dtype,
+                              refine=refine, fallback=fallback, duals=duals,
+                              mesh=mesh, shard_axis=shard_axis,
+                              shard_driver=shard_driver,
+                              shard_block=shard_block)
+    if duals and is_prog and sol.y is not None:
+        from .refine import original_sensitivity
+
+        dmap, rc = original_sensitivity(prog, sf, sol.y)
+        sol = dataclasses.replace(sol, duals=dmap, reduced_costs=rc)
+    return sol

@@ -51,6 +51,10 @@ __all__ = [
     "run_dual_simplex",
     "warm_state_from_basis",
     "run_warm_batch",
+    "run_warm_carry_batch",
+    "run_warm_wave",
+    "pool_write",
+    "pack_wave_summary",
 ]
 
 
@@ -212,6 +216,221 @@ def warm_state_from_basis(A_aug, c_full, col_active, art_cols, basis, b
     """Public single-problem reconstruction (see ``_reconstruct``)."""
     return _reconstruct(A_aug, c_full, col_active, art_cols,
                         jnp.asarray(basis, jnp.int32), jnp.asarray(b))
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_warm_carry(opts: SolverOptions, stall_limit: int):
+    """Batched state-carry warm start: parent terminal tableaus + one sparse
+    RHS rewrite + dual simplex + primal cleanup, one compiled executable.
+
+    The child's RHS differs from the parent's in ONE row ``i`` by ``delta``;
+    in the parent's basis frame that is the rank-0 update
+    ``T[:, -1] += delta * s_i * T[:, col_i]`` where ``col_i`` is row i's
+    slack/surplus column (its original column is ``±e_i``, so its current
+    column IS ``±B^{-1} e_i`` — valid for ANY basis, objective rows
+    included). No refactorization, no linear solve: this is what keeps the
+    executable Mosaic-friendly (the LU-expander route in ``_reconstruct``
+    compiles pathologically slowly on TPU)."""
+    from .driver import simplex_step
+
+    @jax.jit
+    def run(pool_T, pool_basis, col_active, art_cols, idx, cols, deltas,
+            max_iters):
+        def one(slot, col, delta):
+            # gather INSIDE the executable: the pool stays device-resident
+            # and every wave runs the same fixed-shape program (eager
+            # variable-length gathers cost a remote mini-compile per wave)
+            T = pool_T[slot]
+            basis = pool_basis[slot]
+            T = T.at[:, -1].add(delta * T[:, col])
+            st = SimplexState(
+                T=T,
+                basis=basis.astype(jnp.int32),
+                col_active=col_active,
+                art_cols=art_cols,
+                phase=jnp.asarray(2, jnp.int32),
+                status=jnp.asarray(Status.RUNNING, jnp.int32),
+                niter=jnp.asarray(0, jnp.int32),
+                stuck=jnp.asarray(0, jnp.int32),
+                bland=jnp.asarray(False),
+                last_z=jnp.asarray(-jnp.inf, T.dtype),
+            )
+
+            def cond(s):
+                return (s.status == Status.RUNNING) & (s.niter < max_iters)
+
+            st = lax.while_loop(
+                cond, lambda s: dual_simplex_step(s, opts, stall_limit), st)
+            # primal cleanup: f32 drift can leave slightly negative reduced
+            # costs; re-open OPTIMAL lanes for the primal driver (terminates
+            # immediately when already optimal)
+            st = st._replace(status=jnp.where(
+                st.status == Status.OPTIMAL,
+                jnp.int32(Status.RUNNING), st.status))
+            st = lax.while_loop(
+                cond, lambda s: simplex_step(s, opts, stall_limit), st)
+            return st._replace(status=jnp.where(
+                st.status == Status.RUNNING,
+                jnp.int32(Status.ITERATION_LIMIT), st.status))
+
+        return jax.vmap(one)(idx, cols, deltas)
+
+    return run
+
+
+def run_warm_carry_batch(pool_T, pool_basis, col_active, art_cols, idx,
+                         cols, deltas,
+                         opts: SolverOptions | None = None) -> SimplexState:
+    """Solve a wave of children from their parents' terminal frames.
+
+    ``pool_T`` (C, m+2, n+1) / ``pool_basis`` (C, m) is the device-resident
+    parent-state pool (see ``pool_write``); ``idx`` (B,) selects each
+    child's parent slot; ``cols``/``deltas`` (B,) encode the signed sparse
+    RHS rewrite per child: row i's b moves by ``delta`` through that row's
+    slack (+delta) or surplus (-delta, sign folded into deltas by the
+    caller) column."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(pool_T.dtype)
+    m = pool_T.shape[1] - 2
+    n = pool_T.shape[2] - 1
+    stall_limit = opts.resolved_stall_limit(m, n)
+    run = _compiled_warm_carry(_budget_key(opts), stall_limit)
+    return run(pool_T, pool_basis, col_active, art_cols,
+               jnp.asarray(idx, jnp.int32),
+               jnp.asarray(cols, jnp.int32),
+               jnp.asarray(deltas, pool_T.dtype),
+               jnp.asarray(opts.max_iters, jnp.int32))
+
+
+@jax.jit
+def pool_write(pool_T, pool_basis, slots, T_wave, basis_wave, lanes):
+    """Scatter branched lanes of a wave's terminal state into the pool.
+
+    ``slots``/``lanes`` are (B,) fixed-width; entries with ``slot >= C``
+    are dropped (the host pads unused positions with an out-of-range slot),
+    so every wave runs this one fixed-shape executable."""
+    T_sel = jnp.take(T_wave, lanes, axis=0)
+    b_sel = jnp.take(basis_wave, lanes, axis=0)
+    return (pool_T.at[slots].set(T_sel, mode="drop"),
+            pool_basis.at[slots].set(b_sel, mode="drop"))
+
+
+def _wave_summaries(out: SimplexState, R, const):
+    """Pack everything the B&B host loop reads into ONE array, so a wave
+    costs ONE device->host fetch instead of six (each separate fetch is a
+    full tunnel roundtrip — the dominant wave cost once warm starts shrank
+    the solves themselves).
+
+    Layout (B, m+6) in the tableau dtype:
+    [corner, maxdist, branch-value, status, niter, argmax-fractional,
+    basis...] — the int fields are exact in f32 (all < 2^24). The
+    integrality check is the device reduction recover ``R @ x + const`` per
+    lane, reduced to the max distance-to-integer, the most-fractional
+    variable index, and that variable's value (so the host can branch
+    without fetching or refining x at all)."""
+
+    def one(T1, basis1):
+        x = jnp.zeros((T1.shape[1] - 1,), T1.dtype)
+        x = x.at[basis1].set(T1[2:, -1])
+        vals = R @ x + const
+        dist = jnp.abs(vals - jnp.round(vals))
+        am1 = jnp.argmax(dist)
+        return jnp.max(dist), am1.astype(jnp.int32), vals[am1]
+
+    md, am, bval = jax.vmap(one)(out.T, out.basis)
+    dtype = out.T.dtype
+    return jnp.concatenate(
+        [out.T[:, 0, -1:], md[:, None].astype(dtype), bval[:, None],
+         out.status[:, None].astype(dtype), out.niter[:, None].astype(dtype),
+         am[:, None].astype(dtype), out.basis.astype(dtype)], axis=1)
+
+
+@jax.jit
+def pack_wave_summary(out: SimplexState, R, const):
+    """Standalone summary packer for the cold-wave path."""
+    return _wave_summaries(out, R, const)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_warm_wave(opts: SolverOptions, stall_limit: int):
+    """The ENTIRE warm wave as one executable: apply the previous wave's
+    deferred pool writes, gather each child's parent frame, sparse-RHS
+    rewrite, dual simplex, primal cleanup, integrality check, summary pack.
+    One dispatch + one bundled fetch per wave."""
+    from .driver import simplex_step
+
+    @jax.jit
+    def run(pool_T, pool_basis, col_active, art_cols,
+            prev_T, prev_basis, ipack, R, const, max_iters):
+        # ipack (B, 5) int32 = [parent slot, rewrite column, deferred-write
+        # slot, deferred-write lane, rhs delta] — ONE host->device upload
+        # per wave (deltas are exact integers: integral bounds are snapped)
+        idx = ipack[:, 0]
+        cols = ipack[:, 1]
+        wslots = ipack[:, 2]
+        wlanes = ipack[:, 3]
+        deltas = ipack[:, 4].astype(pool_T.dtype)
+        # deferred writes from the wave that produced prev_T (before the
+        # gather below, so same-wave children see their parents)
+        pool_T = pool_T.at[wslots].set(
+            jnp.take(prev_T, wlanes, axis=0), mode="drop")
+        pool_basis = pool_basis.at[wslots].set(
+            jnp.take(prev_basis, wlanes, axis=0), mode="drop")
+
+        def one(slot, col, delta):
+            T = pool_T[slot]
+            basis = pool_basis[slot]
+            T = T.at[:, -1].add(delta * T[:, col])
+            st = SimplexState(
+                T=T,
+                basis=basis.astype(jnp.int32),
+                col_active=col_active,
+                art_cols=art_cols,
+                phase=jnp.asarray(2, jnp.int32),
+                status=jnp.asarray(Status.RUNNING, jnp.int32),
+                niter=jnp.asarray(0, jnp.int32),
+                stuck=jnp.asarray(0, jnp.int32),
+                bland=jnp.asarray(False),
+                last_z=jnp.asarray(-jnp.inf, T.dtype),
+            )
+
+            def cond(s):
+                return (s.status == Status.RUNNING) & (s.niter < max_iters)
+
+            st = lax.while_loop(
+                cond, lambda s: dual_simplex_step(s, opts, stall_limit), st)
+            st = st._replace(status=jnp.where(
+                st.status == Status.OPTIMAL,
+                jnp.int32(Status.RUNNING), st.status))
+            st = lax.while_loop(
+                cond, lambda s: simplex_step(s, opts, stall_limit), st)
+            return st._replace(status=jnp.where(
+                st.status == Status.RUNNING,
+                jnp.int32(Status.ITERATION_LIMIT), st.status))
+
+        out = jax.vmap(one)(idx, cols, deltas)
+        summary = _wave_summaries(out, R, const)
+        return pool_T, pool_basis, out, summary
+
+    return run
+
+
+def run_warm_wave(pool_T, pool_basis, col_active, art_cols,
+                  prev_T, prev_basis, ipack, R, const, max_iters_dev,
+                  opts: SolverOptions | None = None):
+    """Full fused warm wave (see ``_compiled_warm_wave``). Returns
+    ``(pool_T, pool_basis, out_state, summary)``; ``ipack`` is the (B, 5)
+    int32 upload [slot, col, wslot, wlane, delta], ``max_iters_dev`` a
+    device scalar the caller uploads once per solve."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(pool_T.dtype)
+    m = pool_T.shape[1] - 2
+    n = pool_T.shape[2] - 1
+    stall_limit = opts.resolved_stall_limit(m, n)
+    run = _compiled_warm_wave(_budget_key(opts), stall_limit)
+    return run(pool_T, pool_basis, col_active, art_cols,
+               prev_T, prev_basis, jnp.asarray(ipack, jnp.int32),
+               R, const, max_iters_dev)
 
 
 @functools.lru_cache(maxsize=32)
