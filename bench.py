@@ -448,8 +448,11 @@ def main():
                     choices=["float32", "float64"])
     ap.add_argument("--driver", default="pallas",
                     choices=["blocked", "pallas", "rank1"])
-    ap.add_argument("--block", type=int, default=128,
-                    help="rank-K block size for the blocked/pallas drivers")
+    ap.add_argument("--block", type=int, default=256,
+                    help="rank-K block size for the blocked/pallas drivers "
+                         "(K=256 measured fastest for pallas at 4096x8192: "
+                         "flush traffic halves vs K=128 and U/V still fit "
+                         "VMEM)")
     ap.add_argument("--repeats", type=int, default=50,
                     help="back-to-back calls per timed budget")
     ap.add_argument("--reps", type=int, default=5,

@@ -1,0 +1,182 @@
+"""Bounded-variable simplex (tpulp.solve.bounded): finite upper bounds
+enforced in the ratio test instead of as tableau rows.
+
+Oracle: the same LinProg lowered BOTH ways — simple_bounds (bounded driver)
+vs row-based bound rows (plain driver) — must agree exactly on status and
+refined objective; plus hand-checked flip cases and a tableau-size pin."""
+
+from fractions import Fraction as F
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpulp import LinExpr, LinProg
+from tpulp.core import SolverOptions, Status
+from tpulp.solve import solve_lp
+from tpulp.solve.bounded import (
+    extract_bounded_solution,
+    make_bounded_state,
+    run_simplex_bounded,
+)
+from tpulp.solve.api import state_from_standard_form
+
+
+def _box_lp():
+    """max 3x + 2y, x <= 4, y <= 3, x + y <= 5: optimum 14 at (4, 1)."""
+    lp = LinProg()
+    lp.addVar("x", lb=0, ub=4)
+    lp.addVar("y", lb=0, ub=3)
+    lp.maximize(LinExpr(3, "x", 2, "y"))
+    lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(5))
+    return lp
+
+
+class TestBoundedDriver:
+    def test_box_lp_no_bound_rows(self):
+        lp = _box_lp()
+        sf = lp.lower(simple_bounds=True)
+        sf_rows = lp.lower()
+        # the point of the encoding: bounds create NO rows
+        assert sf.m == 1 and sf_rows.m == 3
+        assert sf.upper is not None and sum(
+            u is not None for u in sf.upper) == 2
+        sol = solve_lp(sf)
+        assert sol.status == "optimal" and sol.objective == 14
+        assert sol.x == {"x": F(4), "y": F(1)}
+
+    def test_pure_flip_solution(self):
+        """All-flip optimum: maximize inside a box with a slack capacity —
+        every variable rides to its upper bound with ZERO basis changes."""
+        lp = LinProg()
+        lp.addVar("a", lb=0, ub=2)
+        lp.addVar("b", lb=0, ub=3)
+        lp.maximize(LinExpr(5, "a", 4, "b"))
+        lp.addConstraint(LinExpr(1, "a", 1, "b").constraintLeq(100))
+        sf = lp.lower(simple_bounds=True)
+        st = state_from_standard_form(sf)
+        bout = run_simplex_bounded(
+            make_bounded_state(st, sf.upper),
+            SolverOptions.for_dtype(st.T.dtype, max_iters=50))
+        assert int(bout.s.status) == Status.OPTIMAL
+        x, z = extract_bounded_solution(bout)
+        assert float(z) == pytest.approx(-22.0)  # min form of max 5*2+4*3
+        assert bool(np.asarray(bout.at_upper)[:2].all())
+        sol = solve_lp(sf)
+        assert sol.objective == 22
+        assert sol.x == {"a": F(2), "b": F(3)}
+
+    def test_leave_at_upper_case(self):
+        """A basic variable is driven to ITS upper by an entering column
+        with a negative tableau entry (case (b): pivot + leaving flip)."""
+        lp = LinProg()
+        lp.addVar("x", lb=0, ub=6)
+        lp.addVar("y", lb=0, ub=10)
+        lp.maximize(LinExpr(1, "x", 2, "y"))
+        lp.addConstraint(LinExpr(1, "x", -1, "y").constraintGeq(-4))
+        lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(14))
+        sol_rows = solve_lp(lp.lower())
+        sol_bnd = solve_lp(lp.lower(simple_bounds=True))
+        assert sol_bnd.status == sol_rows.status == "optimal"
+        assert sol_bnd.objective == sol_rows.objective
+        assert sol_bnd.x == sol_rows.x
+
+    def test_shifted_bounds(self):
+        """lb != 0 shifts fold into the span (u - lb)."""
+        lp = LinProg()
+        lp.addVar("x", lb=2, ub=7)
+        lp.addVar("y", lb=-1, ub=3)
+        lp.minimize(LinExpr(1, "x", -3, "y"))
+        lp.addConstraint(LinExpr(1, "x", 1, "y").constraintGeq(3))
+        a = solve_lp(lp.lower())
+        b = solve_lp(lp.lower(simple_bounds=True))
+        assert a.status == b.status == "optimal"
+        assert a.objective == b.objective
+        assert a.x == b.x
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_box_parity_with_row_lowering(self, seed):
+        """Random dense box-constrained LPs: both lowerings agree exactly
+        (the row-based path is the oracle; objectives refine to Fractions)."""
+        rng = np.random.default_rng(seed)
+        nv, mc = 6, 4
+        lp = LinProg()
+        obj = LinExpr()
+        for jv in range(nv):
+            ub = int(rng.integers(1, 9))
+            lp.addVar(f"v{jv}", lb=0, ub=ub)
+            obj += LinExpr(int(rng.integers(-9, 10)), f"v{jv}")
+        lp.maximize(obj)
+        for i in range(mc):
+            e = LinExpr()
+            for jv in range(nv):
+                e += LinExpr(int(rng.integers(-3, 6)), f"v{jv}")
+            lp.addConstraint(e.constraintLeq(int(rng.integers(5, 30))))
+        a = solve_lp(lp.lower())
+        b = solve_lp(lp.lower(simple_bounds=True))
+        assert b.status == a.status, seed
+        if a.status == "optimal":
+            assert b.objective == a.objective, seed
+
+    def test_infeasible_and_unbounded_report(self):
+        lp = LinProg()
+        lp.addVar("x", lb=0, ub=5)
+        lp.minimize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(1, "x").constraintGeq(9))  # > ub
+        assert solve_lp(lp.lower(simple_bounds=True)).status == "infeasible"
+
+        lp2 = LinProg()
+        lp2.addVar("x", lb=0, ub=5)
+        lp2.addVar("free", lb=0)                    # genuinely unbounded
+        lp2.maximize(LinExpr(1, "x", 1, "free"))
+        lp2.addConstraint(LinExpr(1, "x").constraintLeq(4))
+        assert solve_lp(lp2.lower(simple_bounds=True)).status == "unbounded"
+
+    def test_solve_lp_simple_bounds_kwarg(self):
+        sol = solve_lp(_box_lp(), simple_bounds=True)
+        assert sol.status == "optimal" and sol.objective == 14
+
+    def test_corpus_bounded_cases_parity(self):
+        """Corpus cases with finite bounds through the bounded path."""
+        from tpulp.corpus import get_case
+
+        for name in ("bounded_box", "textbook"):
+            case = get_case(name)
+            lp = case.lp()
+            sol = solve_lp(lp.lower(simple_bounds=True),
+                           max_iters=case.max_iters)
+            assert sol.status == case.status, name
+            assert sol.objective == case.objective, name
+
+    def test_knapsack_relaxation_row_reduction(self):
+        """The measured reduction VERDICT r2 item 3 asked for: the 28-var
+        knapsack LP relaxation drops from 29 rows (1 + 28 bound rows) to 1."""
+        rng = np.random.default_rng(0)
+        lp = LinProg()
+        obj = LinExpr()
+        w = LinExpr()
+        for i in range(28):
+            lp.addVar(f"x{i}", lb=0, ub=1)
+            obj += LinExpr(int(rng.integers(10, 60)), f"x{i}")
+            w += LinExpr(int(rng.integers(5, 25)), f"x{i}")
+        lp.maximize(obj)
+        lp.addConstraint(w.constraintLeq(120))
+        sf_rows = lp.lower()
+        sf_bnd = lp.lower(simple_bounds=True)
+        assert sf_rows.m == 29 and sf_bnd.m == 1
+        a = solve_lp(sf_rows)
+        b = solve_lp(sf_bnd)
+        assert a.objective == b.objective
+
+    def test_host_oracle_materializes_bounds(self):
+        from tpulp.solve.api import solve_standard_form_host
+
+        sf = _box_lp().lower(simple_bounds=True)
+        sol = solve_standard_form_host(sf)
+        assert sol.status == "optimal" and sol.objective == 14
+
+    def test_f32_ladder_still_exact(self):
+        sol = solve_lp(_box_lp().lower(simple_bounds=True),
+                       dtype=jnp.float32)
+        assert sol.status == "optimal" and sol.objective == 14

@@ -39,7 +39,8 @@ from .expr import LinExpr
 from .prog import MAX, LinProg
 from .var import LinVar
 
-__all__ = ["StandardForm", "lower_to_standard_form", "LoweringError"]
+__all__ = ["StandardForm", "lower_to_standard_form", "LoweringError",
+           "materialize_simple_bounds"]
 
 ZERO = Fraction(0)
 ONE = Fraction(1)
@@ -85,6 +86,12 @@ class StandardForm:
     # ("intbound", 0, sign) for dedicated integer bound rows — the map that
     # carries row duals back to the USER's constraints (solve/duals)
     row_provenance: List[Tuple[str, int, int]] = field(default_factory=list)
+    # simple_bounds lowering: per-column finite upper bound or None (+inf).
+    # When present, finite variable bounds produced NO tableau rows — the
+    # bounded-variable simplex (tpulp.solve.bounded) enforces them in the
+    # ratio test instead (upper-bound flipping), keeping the tableau
+    # quadratically smaller than the bound-row encoding.
+    upper: Optional[List[Optional[Fraction]]] = None
 
     @property
     def m(self) -> int:
@@ -170,11 +177,54 @@ def _canon_rows(prog: LinProg, subst, ncols) -> Tuple[
     return rows, rhs, comps, infeas, prov
 
 
+def materialize_simple_bounds(sf: StandardForm) -> StandardForm:
+    """Equivalent row-based StandardForm of a ``simple_bounds`` lowering:
+    every finite span becomes an explicit ``x_j + s = u`` row with its own
+    slack column (and ``upper=None``). Used by paths that do not implement
+    the bounded-variable ratio test (the exact host oracle, sharded
+    drivers) so the precision ladder stays correct under simple_bounds."""
+    import dataclasses as _dc
+
+    if sf.upper is None or not any(u is not None for u in sf.upper):
+        return _dc.replace(sf, upper=None)
+    n0 = sf.n
+    extra = [(j, u) for j, u in enumerate(sf.upper) if u is not None]
+    n = n0 + len(extra)
+    rows = [list(r) + [ZERO] * len(extra) for r in sf.A]
+    rhs = list(sf.b)
+    c = list(sf.c) + [ZERO] * len(extra)
+    col_names = list(sf.col_names)
+    basis_hint = list(sf.basis_hint)
+    prov = list(sf.row_provenance)
+    for k, (j, u) in enumerate(extra):
+        row = [ZERO] * n
+        row[j] = ONE
+        row[n0 + k] = ONE
+        rows.append(row)
+        rhs.append(u)
+        basis_hint.append(n0 + k)
+        col_names.append(f"_ub{j}")
+        prov.append(("bound", j, 1))
+    return _dc.replace(
+        sf, A=rows, b=rhs, c=c, col_names=col_names,
+        basis_hint=basis_hint, row_provenance=prov, upper=None)
+
+
 def lower_to_standard_form(
     prog: LinProg,
     integer_bound_rows: bool = False,
+    simple_bounds: bool = False,
 ) -> StandardForm:
-    """Lower ``prog`` to equality standard form with b >= 0. See module doc."""
+    """Lower ``prog`` to equality standard form with b >= 0. See module doc.
+
+    ``simple_bounds=True`` keeps finite variable upper bounds OUT of the
+    constraint matrix (no ``x <= u`` rows): the resulting StandardForm
+    carries ``upper[col]`` spans for the bounded-variable simplex. Mutually
+    exclusive with ``integer_bound_rows`` (B&B's b-only node encoding needs
+    the dedicated rows)."""
+    if simple_bounds and integer_bound_rows:
+        raise LoweringError(
+            "simple_bounds and integer_bound_rows are mutually exclusive")
     obj = prog.objective.expr
     negate_obj = prog.objective.sense == MAX
     if negate_obj:
@@ -187,6 +237,7 @@ def lower_to_standard_form(
     subst: Dict[str, Tuple[List[Tuple[int, Fraction]], Fraction]] = {}
     col_names: List[str] = []
     bound_cons: List[Tuple[int, Fraction]] = []  # (col, upper) -> x_col <= upper
+    col_upper: Dict[int, Fraction] = {}          # simple_bounds spans
     trivially_infeasible = False
 
     def new_col(label: str) -> int:
@@ -205,8 +256,11 @@ def lower_to_standard_form(
             col = new_col(name if lb == 0 else f"{name}'")
             subst[name] = ([(col, ONE)], lb)
             if ub is not None and not (integer_bound_rows and v.isint):
-                # integer vars get dedicated bound rows below instead
-                bound_cons.append((col, ub - lb))
+                if simple_bounds:
+                    col_upper[col] = ub - lb  # span; no tableau row
+                else:
+                    # integer vars get dedicated bound rows below instead
+                    bound_cons.append((col, ub - lb))
         elif ub is not None:
             col = new_col(f"{name}^")
             subst[name] = ([(col, -ONE)], ub)
@@ -306,6 +360,10 @@ def lower_to_standard_form(
         for col, ccoef in terms:
             c[col] += coeff * ccoef
 
+    upper = None
+    if simple_bounds:
+        upper = [col_upper.get(j) for j in range(n)]
+
     return StandardForm(
         c=c,
         A=rows,
@@ -320,4 +378,5 @@ def lower_to_standard_form(
         int_shift=int_shift,
         n_struct=n_struct,
         row_provenance=prov,
+        upper=upper,
     )

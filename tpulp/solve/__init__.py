@@ -8,10 +8,22 @@ from .driver import (
     run_simplex,
     simplex_step,
 )
-from .blocked import run_simplex_blocked
+from .blocked import run_simplex_blocked, run_simplex_blocked_batch
+from .bounded import (
+    BoundedState,
+    make_bounded_state,
+    run_simplex_bounded,
+)
+from .dual import run_dual_simplex, warm_state_from_basis
 from .refine import exact_basis_solve, refine_basis_solution
 
 __all__ = [
+    "BoundedState",
+    "make_bounded_state",
+    "run_simplex_bounded",
+    "run_dual_simplex",
+    "warm_state_from_basis",
+    "run_simplex_blocked_batch",
     "Solution",
     "solve_lp",
     "solve_standard_form",

@@ -94,6 +94,12 @@ def solve_standard_form_host(sf: StandardForm, rule: str = "dantzig"
 
     if sf.trivially_infeasible:
         return Solution(status="infeasible")
+    if sf.upper is not None:
+        # the host oracle has no bounded ratio test: materialize the spans
+        # as explicit rows (exact, equivalent optimum)
+        from ..model.lower import materialize_simple_bounds
+
+        sf = materialize_simple_bounds(sf)
     tab = Tableau.fromArrays(sf.c, sf.A, sf.b, names=sf.col_names)
     sx = Simplex(tab, on_infeasible="status")
     if sx.getStatus() is not None:
@@ -150,7 +156,23 @@ def solve_standard_form(
     if sf.trivially_infeasible:
         return Solution(status="infeasible")
     state = state_from_standard_form(sf, dtype=dtype)
-    if mesh is not None:
+    bounded = sf.upper is not None and any(
+        u is not None for u in sf.upper)
+    at_upper_np = None
+    bout = None
+    if bounded:
+        # simple_bounds lowering: finite spans never became tableau rows —
+        # the bounded-variable driver enforces them in its ratio test
+        if mesh is not None:
+            raise ValueError("mesh solving does not support simple_bounds "
+                             "lowering yet; use the row-based lowering")
+        from .bounded import make_bounded_state, run_simplex_bounded
+
+        bout = run_simplex_bounded(
+            make_bounded_state(state, sf.upper), options)
+        out = bout.s
+        at_upper_np = np.asarray(bout.at_upper)
+    elif mesh is not None:
         from ..shard import (from_sharded_state, run_simplex_sharded,
                              run_simplex_sharded_blocked, to_sharded_state)
 
@@ -204,13 +226,25 @@ def solve_standard_form(
 
     basis = [int(j) for j in np.asarray(out.basis)]
     if refine == "none":
-        x_dev, z_dev = extract_solution(out)
+        if bounded:
+            from .bounded import extract_bounded_solution
+
+            x_dev, z_dev = extract_bounded_solution(bout)
+        else:
+            x_dev, z_dev = extract_solution(out)
         x_np = np.asarray(x_dev)
         col_values = {j: float(x_np[j]) for j in range(sf.n) if x_np[j] != 0}
         z_min = float(z_dev) + float(sf.obj_const)
     else:
         try:
-            col_values, z_min = refine_basis_solution(sf, basis, mode=refine)
+            if bounded:
+                from .refine import refine_bounded_basis
+
+                col_values, z_min = refine_bounded_basis(
+                    sf, basis, at_upper_np, mode=refine)
+            else:
+                col_values, z_min = refine_basis_solution(
+                    sf, basis, mode=refine)
         except (ZeroDivisionError, np.linalg.LinAlgError):
             # singular float basis: the iterates lied about feasibility
             return _escalate()
@@ -221,7 +255,17 @@ def solve_standard_form(
         # ill-scaled corpus case in f32) and the exact objective of a wrong
         # basis is still the wrong answer
         try:
-            if sf.m <= 192:
+            if bounded:
+                from .refine import bounded_basis_certificate
+
+                if sf.m <= 192:
+                    primal_ok, dual_ok = bounded_basis_certificate(
+                        sf, basis, at_upper_np)
+                else:
+                    # no float bounded certificate yet: the feasibility
+                    # sanity below still rejects broken bases
+                    primal_ok = dual_ok = True
+            elif sf.m <= 192:
                 primal_ok, dual_ok = exact_basis_certificate(sf, basis)
             else:
                 primal_ok, dual_ok = float_basis_certificate(sf, basis)
@@ -275,9 +319,15 @@ def solve_lp(
     shard_axis="cols",
     shard_driver: str = "blocked",
     shard_block: int = 64,
+    simple_bounds: bool = False,
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
+
+    ``simple_bounds=True`` lowers finite variable upper bounds WITHOUT
+    tableau rows and solves with the bounded-variable simplex
+    (``tpulp.solve.bounded``) — the tableau shrinks by one row per bounded
+    variable.
 
     ``opt_overrides`` are SolverOptions field overrides, e.g.
     ``solve_lp(lp, max_iters=500, rule=RULE_BLAND)``. ``duals=True`` also
@@ -293,7 +343,8 @@ def solve_lp(
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
     is_prog = not isinstance(prog, StandardForm)
-    sf = lower_to_standard_form(prog) if is_prog else prog
+    sf = lower_to_standard_form(prog, simple_bounds=simple_bounds) \
+        if is_prog else prog
     sol = solve_standard_form(sf, options=options, dtype=dtype,
                               refine=refine, fallback=fallback, duals=duals,
                               mesh=mesh, shard_axis=shard_axis,
