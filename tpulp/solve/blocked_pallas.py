@@ -115,15 +115,22 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
                  c.ab, c.iscal, c.fscal,
                  opts=opts, stall_limit=stall_limit, K=K,
                  n_real=N, m_real=m, interpret=interpret)
-            # flush the rank-K update into both tableau copies (2 matmuls)
+            # flush the rank-K update into T (one MXU matmul), then derive
+            # the transposed copy by TRANSPOSING the flushed T — NOT by a
+            # second accumulated matmul. Two separately-accumulated matmuls
+            # (T += U^T V and Tt += V^T U) round differently on the MXU, so
+            # Tt drifts from T^T block by block; the kernel reads entering
+            # COLUMNS from Tt but pivot ROWS from T, and that inconsistency
+            # compounds into a wrong walk (caught by the bench compiled-pin:
+            # 2000-pivot stall on an instance the jnp driver solves in 205).
+            # The transpose costs the same HBM traffic as the matmul it
+            # replaces and is exact by construction.
             # HIGHEST: TPU's default matmul precision feeds the MXU bf16
             # inputs for f32 einsums; the rank-K flush needs full f32
             T = c.T + jnp.einsum('km,kn->mn', U, V,
                                  preferred_element_type=dtype,
                                  precision=lax.Precision.HIGHEST)
-            Tt = c.Tt + jnp.einsum('kn,km->nm', V, U,
-                                   preferred_element_type=dtype,
-                                   precision=lax.Precision.HIGHEST)
+            Tt = T.T
             # re-derive the running vectors from the flushed tableau (kills
             # incremental drift once per block)
             return _Carry(
