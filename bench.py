@@ -515,7 +515,8 @@ def main():
         rate, lps = run_bench_batch(
             batch=args.batch, m=bm, n_struct=bn,
             dtype_name=args.dtype, verbose=args.verbose, driver=bdriver,
-            block=min(args.block, 32))
+            block=min(args.block, 32),
+            max_iters=args.pivots if args.pivots != 1024 else 500)
         print(json.dumps({
             "metric": f"batched simplex ({bdriver}), {args.batch} "
                       f"independent {bm}x{bm + bn} LPs ({args.dtype}), "
