@@ -29,7 +29,6 @@ designed TPU-first:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import heapq
 import itertools
 import math
