@@ -180,3 +180,44 @@ class TestBoundedDriver:
         sol = solve_lp(_box_lp().lower(simple_bounds=True),
                        dtype=jnp.float32)
         assert sol.status == "optimal" and sol.objective == 14
+
+
+def test_batch_path_materializes_or_rejects_simple_bounds():
+    """The batched driver has no bounded ratio test: solve_lp_batch
+    materializes spans into rows; make_batched_states refuses raw spans."""
+    from tpulp.batch import make_batched_states, solve_lp_batch
+
+    sf = _box_lp().lower(simple_bounds=True)
+    with pytest.raises(ValueError):
+        make_batched_states([sf])
+    sols = solve_lp_batch([sf, _box_lp().lower(simple_bounds=True)])
+    assert all(s.status == "optimal" and s.objective == 14 for s in sols)
+
+
+def test_large_m_float_bounded_certificate():
+    """m > 192 routes through the f64 bounded certificate (exact rationals
+    would wall); a 200-row box LP still refines and certifies."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    m, nv = 200, 40
+    lp = LinProg()
+    obj = LinExpr()
+    for jv in range(nv):
+        lp.addVar(f"v{jv}", lb=0, ub=int(rng.integers(2, 8)))
+        obj += LinExpr(int(rng.integers(-5, 6)), f"v{jv}")
+    lp.maximize(obj)
+    for i in range(m):
+        e = LinExpr()
+        for jv in range(nv):
+            c = int(rng.integers(0, 4))
+            if c:
+                e += LinExpr(c, f"v{jv}")
+        lp.addConstraint(e.constraintLeq(int(rng.integers(30, 120))))
+    sf = lp.lower(simple_bounds=True)
+    assert sf.m == m  # bounds stayed out of A even at scale
+    sol = solve_lp(sf, refine="float64")
+    ref = solve_lp(lp.lower(), refine="float64")
+    assert sol.status == ref.status == "optimal"
+    assert float(sol.objective) == pytest.approx(float(ref.objective),
+                                                 rel=1e-9)

@@ -75,9 +75,20 @@ def make_batched_states(
     sfs: Sequence[StandardForm],
     dtype=jnp.float64,
 ) -> SimplexState:
-    """Lower a list of StandardForms to ONE batched state of uniform shape."""
+    """Lower a list of StandardForms to ONE batched state of uniform shape.
+
+    simple_bounds lowerings are rejected here — the batched driver has no
+    bounded ratio test and silently ignoring the spans would return wrong
+    answers; callers materialize the bounds into rows first
+    (``materialize_simple_bounds``, done by ``solve_lp_batch``)."""
     if not sfs:
         raise ValueError("empty batch")
+    if any(sf.upper is not None and any(u is not None for u in sf.upper)
+           for sf in sfs):
+        raise ValueError(
+            "batched solving needs row-based bounds: materialize "
+            "simple_bounds lowerings first (model.lower."
+            "materialize_simple_bounds)")
     dims = []
     for sf in sfs:
         n_art = sum(1 for h in sf.basis_hint if h < 0)
@@ -144,10 +155,16 @@ def solve_lp_batch(
         options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
         options = dataclasses.replace(options, **opt_overrides)
+    from ..model.lower import materialize_simple_bounds
+
     sfs = [
         p if isinstance(p, StandardForm) else lower_to_standard_form(p)
         for p in progs
     ]
+    # simple_bounds lowerings become explicit bound rows (exact, same
+    # optimum): the batched driver has no bounded ratio test
+    sfs = [materialize_simple_bounds(sf) if sf.upper is not None else sf
+           for sf in sfs]
     solvable = [i for i, sf in enumerate(sfs) if not sf.trivially_infeasible]
     results: List[Solution] = [Solution(status="infeasible")] * len(sfs)
     if not solvable:

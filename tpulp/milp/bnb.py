@@ -687,9 +687,17 @@ def solve_milp(
         sol = Solution(status="unbounded")
     elif incumbent is not None:
         # a nonempty frontier means we stopped on max_nodes: the incumbent
-        # is feasible but not proven optimal
-        status = "node_limit" if frontier else "optimal"
-        sol = dataclasses.replace(incumbent, status=status)
+        # is feasible but not proven optimal — report the PROVEN optimality
+        # gap against the best open node bound (min sense)
+        if frontier:
+            best_open = min(zf for zf, _, _, _, _ in frontier)
+            inc_f = float(incumbent_z)
+            gap = max(0.0, (inc_f - best_open) / max(abs(inc_f), 1.0))
+            sol = dataclasses.replace(incumbent, status="node_limit",
+                                      mip_gap=gap)
+        else:
+            sol = dataclasses.replace(incumbent, status="optimal",
+                                      mip_gap=0.0)
     elif stats.nodes_solved >= max_nodes:
         sol = Solution(status="node_limit")
     else:

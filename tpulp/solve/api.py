@@ -63,6 +63,10 @@ class Solution:
     # .original_sensitivity)
     duals: Optional[Dict] = None
     reduced_costs: Optional[Dict[str, Any]] = None
+    # MILP node_limit exits: proven optimality gap of the incumbent —
+    # (incumbent - best frontier bound) / max(|incumbent|, 1), both in the
+    # minimization sense; 0 for proven-optimal solves
+    mip_gap: Optional[float] = None
 
     @property
     def is_optimal(self) -> bool:
@@ -256,15 +260,15 @@ def solve_standard_form(
         # basis is still the wrong answer
         try:
             if bounded:
-                from .refine import bounded_basis_certificate
+                from .refine import (bounded_basis_certificate,
+                                     float_bounded_certificate)
 
                 if sf.m <= 192:
                     primal_ok, dual_ok = bounded_basis_certificate(
                         sf, basis, at_upper_np)
                 else:
-                    # no float bounded certificate yet: the feasibility
-                    # sanity below still rejects broken bases
-                    primal_ok = dual_ok = True
+                    primal_ok, dual_ok = float_bounded_certificate(
+                        sf, basis, at_upper_np)
             elif sf.m <= 192:
                 primal_ok, dual_ok = exact_basis_certificate(sf, basis)
             else:

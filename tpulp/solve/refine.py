@@ -31,6 +31,7 @@ __all__ = [
     "original_sensitivity",
     "refine_bounded_basis",
     "bounded_basis_certificate",
+    "float_bounded_certificate",
 ]
 
 ZERO = Fraction(0)
@@ -280,6 +281,55 @@ def bounded_basis_certificate(sf: StandardForm, basis, at_upper
                 dual = False
                 break
         elif s < 0:
+            dual = False
+            break
+    return primal, dual
+
+
+def float_bounded_certificate(sf: StandardForm, basis, at_upper,
+                              tol: float = 1e-7) -> Tuple[bool, bool]:
+    """f64 version of ``bounded_basis_certificate`` for instances too large
+    to verify in rationals (tolerance-based: can only REJECT confidently)."""
+    c64, A64, b64 = sf.to_dense(np.float64)
+    m = sf.m
+    _, ups = _bounded_sets(sf, basis, at_upper)
+    for j, u in ups:
+        b64 = b64 - float(u) * A64[:, j]
+    art_rows = _artificial_row_map(sf)
+    B = np.zeros((m, m))
+    cb = np.zeros(m)
+    for k, j in enumerate(basis):
+        j = int(j)
+        if j < sf.n:
+            B[:, k] = A64[:, j]
+            cb[k] = c64[j]
+        else:
+            B[art_rows[j - sf.n], k] = 1.0
+    xb = np.linalg.solve(B, b64)
+    scale = max(float(np.abs(b64).max()), 1.0)
+    primal = bool((xb >= -tol * scale).all())
+    for k, j in enumerate(basis):
+        j = int(j)
+        if j >= sf.n:
+            if abs(xb[k]) > tol * scale:
+                primal = False
+        elif sf.upper is not None and sf.upper[j] is not None:
+            if xb[k] > float(sf.upper[j]) + tol * scale:
+                primal = False
+    y = np.linalg.solve(B.T, cb)
+    s = c64 - A64.T @ y
+    cscale = max(float(np.abs(c64).max()), 1.0)
+    up_set = {j for j, _ in ups}
+    bset = {int(j) for j in basis}
+    dual = True
+    for j in range(sf.n):
+        if j in bset:
+            continue
+        if j in up_set:
+            if s[j] > tol * cscale:
+                dual = False
+                break
+        elif s[j] < -tol * cscale:
             dual = False
             break
     return primal, dual
