@@ -455,8 +455,9 @@ def main():
                          "VMEM)")
     ap.add_argument("--repeats", type=int, default=50,
                     help="back-to-back calls per timed budget")
-    ap.add_argument("--reps", type=int, default=5,
-                    help="independent measurements (median reported)")
+    ap.add_argument("--reps", type=int, default=7,
+                    help="independent measurements (median reported; the "
+                         "tunnel adds large between-rep variance)")
     ap.add_argument("--skip-parity", action="store_true")
     ap.add_argument("--skip-compiled-pin", action="store_true",
                     help="skip the compiled-driver correctness pin (one "
