@@ -192,3 +192,26 @@ class TestBlockedBatch:
         assert (statuses == Status.OPTIMAL).all(), statuses
         # lanes genuinely diverge in pivot count yet all terminate
         assert len(set(np.asarray(out.niter).tolist())) > 1
+
+
+def test_solve_lp_batch_blocked_driver():
+    """Public batch API can route through the vmapped rank-K eta driver."""
+    from tpulp import read_mps  # also pins the top-level MPS export
+    del read_mps
+
+    progs = []
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        lp = LinProg()
+        e = LinExpr()
+        for j in range(5):
+            lp.addVar(f"v{j}", lb=0, ub=int(rng.integers(2, 9)))
+            e += LinExpr(int(rng.integers(1, 9)), f"v{j}")
+        lp.maximize(e)
+        lp.addConstraint(e.constraintLeq(int(rng.integers(10, 30))))
+        progs.append(lp)
+    a = solve_lp_batch(progs)
+    b = solve_lp_batch(progs, driver="blocked", block=8)
+    for x, y in zip(a, b):
+        assert x.status == y.status == "optimal"
+        assert x.objective == y.objective

@@ -40,6 +40,8 @@ __all__ = [
     "solve_lp",
     "solve_milp",
     "Solution",
+    "read_mps",
+    "write_mps",
 ]
 
 
@@ -57,4 +59,12 @@ def __getattr__(name):
         from .solve import Solution
 
         return Solution
+    if name == "read_mps":
+        from .io.mps import read_mps
+
+        return read_mps
+    if name == "write_mps":
+        from .io.mps import write_mps
+
+        return write_mps
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

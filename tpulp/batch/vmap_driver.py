@@ -137,9 +137,16 @@ def solve_lp_batch(
     refine: str = "auto",
     return_state: bool = False,
     pad_to: int | None = None,
+    driver: str = "rank1",
+    block: int = 32,
     **opt_overrides,
 ) -> List[Solution]:
     """Solve a batch of LPs in one device call; one Solution per problem.
+
+    ``driver='blocked'`` routes the wave through the vmapped rank-K eta
+    driver (``solve.blocked.run_simplex_blocked_batch``) — the right engine
+    once per-lane tableaus stop being VMEM-trivial (each rank-1 batched
+    pivot re-reads every lane's whole tableau).
 
     With ``return_state=True`` returns ``(solutions, out_state, lane_of)``
     where ``out_state`` is the batched terminal SimplexState and ``lane_of``
@@ -176,7 +183,14 @@ def solve_lp_batch(
         # lanes run on device but are never extracted below
         sf_batch = sf_batch + [sf_batch[0]] * (pad_to - len(sf_batch))
     batched = make_batched_states(sf_batch, dtype=dtype)
-    out = run_simplex_batch(batched, options)
+    if driver == "blocked":
+        from ..solve.blocked import run_simplex_blocked_batch
+
+        out = run_simplex_blocked_batch(batched, options, block=block)
+    elif driver == "rank1":
+        out = run_simplex_batch(batched, options)
+    else:
+        raise ValueError(f"unknown batch driver {driver!r}")
 
     extracted = extract_batch_solutions(
         [sfs[i] for i in solvable], out, refine)
