@@ -137,9 +137,14 @@ def solve_standard_form(
     shard_axis="cols",
     shard_driver: str = "blocked",
     shard_block: int = 64,
+    pricing: str = "default",
     _depth: int = 0,
 ) -> Solution:
     """Solve a lowered StandardForm on the device path.
+
+    ``pricing='devex'`` uses the devex-weighted driver
+    (``tpulp.solve.devex``) — typically far fewer pivots on hard
+    (equality-heavy) instances than the default Dantzig rule.
 
     ``fallback='auto'`` climbs a precision ladder on numeric failure (the
     drivers report Status.NUMERIC when f32 iterates go non-finite; the
@@ -189,8 +194,14 @@ def solve_standard_form(
         else:
             raise ValueError(f"unknown shard_driver {shard_driver!r}")
         out = from_sharded_state(osh, state.n)
-    else:
+    elif pricing == "devex":
+        from .devex import run_simplex_devex
+
+        out = run_simplex_devex(state, options)
+    elif pricing == "default":
         out = run_simplex(state, options)
+    else:
+        raise ValueError(f"unknown pricing {pricing!r}")
     status_code = int(out.status)
     status = Status.NAMES.get(status_code, f"status_{status_code}")
     niter = int(out.niter)
@@ -324,6 +335,7 @@ def solve_lp(
     shard_driver: str = "blocked",
     shard_block: int = 64,
     simple_bounds: bool = False,
+    pricing: str = "default",
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
@@ -353,7 +365,7 @@ def solve_lp(
                               refine=refine, fallback=fallback, duals=duals,
                               mesh=mesh, shard_axis=shard_axis,
                               shard_driver=shard_driver,
-                              shard_block=shard_block)
+                              shard_block=shard_block, pricing=pricing)
     if duals and is_prog and sol.y is not None:
         from .refine import original_sensitivity
 

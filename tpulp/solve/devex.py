@@ -1,0 +1,219 @@
+"""Devex pricing: fewer pivots per solve on hard instances.
+
+Dantzig pricing (most-negative reduced cost) ignores how much a column has
+already been stretched by previous pivots, so on equality-heavy instances
+the walk wanders — the corpus' equality_heavy_256 needs 16.6k Dantzig
+pivots. Devex (Forrest-Goldfarb reference-framework weights) prices
+``argmax c_j^2 / gamma_j`` over improving columns, approximating
+steepest-edge at a per-pivot cost of one extra (n,)-vector update:
+
+* weights start at 1 (the current basis is the reference framework);
+* after a pivot on (r, q) with pivot element ``piv``, the POST-pivot row r
+  holds exactly ``alpha_rj / alpha_rq``, so the update is one fused
+  elementwise pass: ``gamma_j <- max(gamma_j, (T'[r, j])^2 * gamma_q)``,
+  and the leaving column gets ``max(gamma_q / piv^2, 1)``;
+* when the largest weight exceeds a reset threshold the frame re-anchors
+  (all weights back to 1) — the standard safeguard against unbounded
+  reference drift.
+
+The driver is a branchless ``lax.while_loop`` state machine structurally
+identical to ``solve.driver`` (phase transitions, artificial cleanup, Bland
+anti-cycling fallback, NUMERIC guard), carrying the weight vector alongside
+``SimplexState``. Reachable via ``solve_lp(..., pricing='devex')``.
+
+No reference counterpart: lpsol's pricing surface is Dantzig / Bland /
+greatest-increase (/root/reference/lpsol/simplex.py:218-328); devex is the
+production pricing layer it never had.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.state import SimplexState, SolverOptions, Status
+from .driver import _budget_key, pivot_update
+
+__all__ = ["DevexState", "make_devex_state", "devex_simplex_step",
+           "run_simplex_devex"]
+
+RESET_ABOVE = 1e8  # re-anchor the reference framework past this weight
+
+
+class DevexState(NamedTuple):
+    s: SimplexState
+    gamma: jax.Array   # (n,) devex weights, >= 1
+
+
+def make_devex_state(state: SimplexState) -> DevexState:
+    return DevexState(
+        s=state, gamma=jnp.ones((state.n,), state.T.dtype))
+
+
+def devex_simplex_step(ds: DevexState, opts: SolverOptions,
+                       stall_limit: int) -> DevexState:
+    """One branchless transition with devex pricing (see module doc)."""
+    state = ds.s
+    T = state.T
+    dtype = T.dtype
+    n = state.n
+    inf = jnp.asarray(jnp.inf, dtype)
+    running = state.status == Status.RUNNING
+
+    # ---- cleanup scan (same as solve.driver) ------------------------------
+    art_basic = state.art_cols[state.basis]
+    in_phase2 = state.phase == 2
+    cleanup = jnp.any(art_basic) & in_phase2
+    r_d = jnp.argmax(art_basic).astype(jnp.int32)
+    row_d = T[2 + r_d, :-1]
+    elig = state.col_active & ~state.art_cols & (jnp.abs(row_d) > opts.piv_tol)
+    has_elig = jnp.any(elig)
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+    j_d = jnp.min(jnp.where(elig, col_ids, n - 1)).astype(jnp.int32)
+    retire = cleanup & ~has_elig & running
+    art_cols = jnp.where(
+        retire, state.art_cols.at[state.basis[r_d]].set(False),
+        state.art_cols)
+
+    # ---- devex pricing ----------------------------------------------------
+    crow = jnp.where(state.phase == 1, T[1, :-1], T[0, :-1])
+    c_eff = jnp.where(state.col_active, crow, inf)
+    improving = c_eff < -opts.opt_tol
+    has_improving = jnp.any(improving)
+    use_bland = state.bland
+    score = jnp.where(improving, (crow * crow) / ds.gamma, -inf)
+    j_devex = jnp.argmax(score).astype(jnp.int32)
+    j_bland = jnp.min(jnp.where(improving, col_ids, n - 1)).astype(jnp.int32)
+    j_price = jnp.where(use_bland, j_bland, j_devex)
+
+    # ---- phase bookkeeping ------------------------------------------------
+    z1 = -T[1, -1]
+    phase1_done = (state.phase == 1) & ~has_improving & running
+    became_infeasible = phase1_done & (z1 > opts.infeas_tol)
+    to_phase2 = phase1_done & ~became_infeasible
+    pricing_pivot = has_improving & ~cleanup & ~phase1_done
+
+    # ---- ratio test -------------------------------------------------------
+    j = jnp.where(cleanup, j_d, j_price)
+    col = T[2:, j]
+    b = T[2:, -1]
+    pos = col > opts.piv_tol
+    has_ratio = jnp.any(pos)
+    ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), inf)
+    min_ratio = jnp.min(ratios)
+    tie = ratios <= min_ratio
+    r_first = jnp.argmax(tie).astype(jnp.int32)
+    r_bland = jnp.argmin(
+        jnp.where(tie, state.basis, jnp.int32(2 ** 30))).astype(jnp.int32)
+    r_price = jnp.where(use_bland, r_bland, r_first)
+
+    became_unbounded = pricing_pivot & ~has_ratio & in_phase2
+    became_failed1 = pricing_pivot & ~has_ratio & ~in_phase2
+
+    # ---- the one pivot ----------------------------------------------------
+    do_cleanup = cleanup & has_elig & running
+    do_pricing = pricing_pivot & has_ratio & running
+    do_pivot = do_cleanup | do_pricing
+    r = jnp.where(do_cleanup, r_d, r_price)
+    leaving = state.basis[r]
+    piv = T[2 + r, j]
+    r_eff = jnp.where(do_pivot, r + 2, 2)
+    j_eff = jnp.where(do_pivot, j, state.basis[0])
+    Tn = pivot_update(T, r_eff, j_eff)
+    basis = jnp.where(do_pivot, state.basis.at[r].set(j), state.basis)
+
+    # ---- devex weight update (fused elementwise pass over one row) --------
+    gamma_q = ds.gamma[j]
+    alpha = Tn[2 + r, :-1]            # post-pivot row r = alpha_rj / alpha_rq
+    cand = (alpha * alpha) * gamma_q
+    gamma = jnp.where(do_pricing, jnp.maximum(ds.gamma, cand), ds.gamma)
+    safe_piv = jnp.where(do_pivot, piv, 1.0)
+    gamma = jnp.where(
+        do_pricing,
+        gamma.at[leaving].set(
+            jnp.maximum(gamma_q / (safe_piv * safe_piv), 1.0)),
+        gamma)
+    # re-anchor the frame on overflow or phase transition
+    reset = (jnp.max(gamma) > RESET_ABOVE) | to_phase2
+    gamma = jnp.where(reset, jnp.ones_like(gamma), gamma)
+
+    # ---- stall / Bland switch ---------------------------------------------
+    z = jnp.where(state.phase == 1, -Tn[1, -1], -Tn[0, -1])
+    improved = (state.last_z - z) > opts.degen_tol
+    stuck = jnp.where(
+        do_pricing,
+        jnp.where(improved, 0, state.stuck + 1),
+        state.stuck).astype(jnp.int32)
+    last_z = jnp.where(do_pricing, z, state.last_z)
+    bland = state.bland | (stuck >= stall_limit)
+
+    phase = jnp.where(to_phase2, 2, state.phase).astype(jnp.int32)
+    col_active = jnp.where(to_phase2, state.col_active & ~art_cols,
+                           state.col_active)
+    stuck = jnp.where(to_phase2, 0, stuck)
+    last_z = jnp.where(to_phase2, inf, last_z)
+
+    finished_opt = in_phase2 & ~has_improving & ~cleanup
+    finite_ok = (
+        jnp.isfinite(z)
+        & jnp.isfinite(jnp.sum(jnp.abs(Tn[2:, -1])))
+        & jnp.isfinite(jnp.sum(jnp.where(state.col_active, jnp.abs(crow),
+                                         0.0)))
+    )
+    new_status = jnp.where(
+        ~finite_ok, jnp.int32(Status.NUMERIC),
+        jnp.where(
+            became_infeasible | became_failed1, jnp.int32(Status.INFEASIBLE),
+            jnp.where(became_unbounded, jnp.int32(Status.UNBOUNDED),
+                      jnp.where(finished_opt, jnp.int32(Status.OPTIMAL),
+                                jnp.int32(Status.RUNNING)))))
+    status = jnp.where(running, new_status, state.status)
+
+    return DevexState(
+        s=SimplexState(
+            T=Tn,
+            basis=basis,
+            col_active=col_active,
+            art_cols=art_cols,
+            phase=phase,
+            status=status,
+            niter=state.niter + do_pivot.astype(jnp.int32),
+            stuck=stuck,
+            bland=bland,
+            last_z=last_z,
+        ),
+        gamma=gamma,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_devex_driver(opts: SolverOptions, stall_limit: int):
+    @jax.jit
+    def driver(ds: DevexState, max_iters: jax.Array) -> DevexState:
+        def cond(c):
+            return (c.s.status == Status.RUNNING) & (c.s.niter < max_iters)
+
+        out = lax.while_loop(
+            cond, lambda c: devex_simplex_step(c, opts, stall_limit), ds)
+        hit = out.s.status == Status.RUNNING
+        return out._replace(s=out.s._replace(status=jnp.where(
+            hit, jnp.int32(Status.ITERATION_LIMIT), out.s.status)))
+
+    return driver
+
+
+def run_simplex_devex(state: SimplexState,
+                      opts: SolverOptions | None = None) -> SimplexState:
+    """Run the devex-priced driver to termination; returns the terminal
+    SimplexState (weights are internal)."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(state.T.dtype)
+    stall_limit = opts.resolved_stall_limit(state.m, state.n)
+    driver = _compiled_devex_driver(_budget_key(opts), stall_limit)
+    out = driver(make_devex_state(state),
+                 jnp.asarray(opts.max_iters, jnp.int32))
+    return out.s
