@@ -216,3 +216,28 @@ def test_cli_mps_defaults_to_presolve(tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
     assert out["status"] == "optimal" and out["objective"] == "-169"
+
+
+def test_cli_solves_milp_fixture_end_to_end(capsys):
+    """python -m tpulp solve knap20.mps: MPS -> presolve -> B&B, via the CLI."""
+    import json
+
+    from tpulp.__main__ import main
+
+    rc = main(["solve", os.path.join(DATA, "knap20.mps")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "optimal"
+    assert out["objective"] == "475"  # DP oracle (test_knap20_milp_dp_oracle)
+
+
+def test_cli_pricing_devex(capsys):
+    import json
+
+    from tpulp.__main__ import main
+
+    rc = main(["solve", os.path.join(DATA, "transp45.mps"),
+               "--pricing", "devex"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "optimal" and out["objective"] == "786"

@@ -78,7 +78,11 @@ def _cmd_solve(args) -> int:
         print(json.dumps(out))
         return 0
 
-    sol = prog.solve(presolve=args.presolve)
+    kwargs = {}
+    if getattr(args, "pricing", "default") != "default" \
+            and not prog.isMixedInteger():
+        kwargs["pricing"] = args.pricing
+    sol = prog.solve(presolve=args.presolve, **kwargs)
     out = {"status": sol.status}
     if sol.is_optimal:
         out["objective"] = str(sol.objective)
@@ -177,6 +181,10 @@ def main(argv=None) -> int:
                          "DEFAULT for .mps input")
     p1.add_argument("--no-presolve", action="store_true",
                     help="disable presolve (overrides the .mps default)")
+    p1.add_argument("--pricing", default="default",
+                    choices=["default", "devex"],
+                    help="device pricing rule for LP solves (devex: far "
+                         "fewer pivots on equality-heavy instances)")
     p1.set_defaults(fn=_cmd_solve)
 
     p2 = sub.add_parser("solve-tableau",
