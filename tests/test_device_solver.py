@@ -228,3 +228,48 @@ class TestRandomParity:
         if oracle_status == "optimal":
             assert sol.objective_min == sx.getObjValue() + sf.obj_const, \
                 f"seed {seed}"
+
+
+class TestDriverAutoSelect:
+    """solve_lp(driver=...): the public API reaches every single-device
+    engine, and 'auto' routes big tableaus off the rank-1 path."""
+
+    def _big_sf(self, seed=0):
+        import numpy as np
+
+        from tpulp import LinExpr, LinProg
+
+        rng = np.random.default_rng(seed)
+        m, nv = 60, 40
+        lp = LinProg()
+        obj = LinExpr()
+        for j in range(nv):
+            lp.addVar(f"v{j}", lb=0)
+            obj += LinExpr(int(rng.integers(-9, 10)), f"v{j}")
+        lp.maximize(obj)
+        for i in range(m):
+            e = LinExpr()
+            for j in range(nv):
+                e += LinExpr(int(rng.integers(0, 5)), f"v{j}")
+            lp.addConstraint(e.constraintLeq(int(rng.integers(40, 200))))
+        return lp.lower()
+
+    def test_all_engines_agree(self):
+        from tpulp.solve import solve_lp
+
+        sf = self._big_sf()
+        sols = {d: solve_lp(sf, driver=d, block=16)
+                for d in ("rank1", "blocked", "auto")}
+        ref = sols["rank1"]
+        assert ref.status == "optimal"
+        for d, s in sols.items():
+            assert s.status == "optimal", d
+            assert s.objective == ref.objective, d
+
+    def test_unknown_driver_rejected(self):
+        import pytest
+
+        from tpulp.solve import solve_lp
+
+        with pytest.raises(ValueError):
+            solve_lp(self._big_sf(), driver="warp")

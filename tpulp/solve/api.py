@@ -138,6 +138,8 @@ def solve_standard_form(
     shard_driver: str = "blocked",
     shard_block: int = 64,
     pricing: str = "default",
+    driver: str = "auto",
+    block: int = 64,
     _depth: int = 0,
 ) -> Solution:
     """Solve a lowered StandardForm on the device path.
@@ -145,6 +147,15 @@ def solve_standard_form(
     ``pricing='devex'`` uses the devex-weighted driver
     (``tpulp.solve.devex``) — typically far fewer pivots on hard
     (equality-heavy) instances than the default Dantzig rule.
+
+    ``driver`` selects the single-device engine: 'rank1' (full-tableau
+    update per pivot — fastest for small tableaus), 'blocked' (rank-K eta
+    blocks, ~K× less tableau traffic), 'pallas' (the persistent-VMEM
+    kernel — the 13× bench headline engine, compiled TPU only), or 'auto'
+    (DEFAULT): rank-1 below ~200k tableau elements, above that the Pallas
+    kernel on a real TPU backend and the blocked driver elsewhere. Devex
+    pricing, simple_bounds lowerings and mesh solving each pin their own
+    engine (rank-1 / bounded / sharded).
 
     ``fallback='auto'`` climbs a precision ladder on numeric failure (the
     drivers report Status.NUMERIC when f32 iterates go non-finite; the
@@ -198,10 +209,37 @@ def solve_standard_form(
         from .devex import run_simplex_devex
 
         out = run_simplex_devex(state, options)
-    elif pricing == "default":
-        out = run_simplex(state, options)
-    else:
+    elif pricing != "default":
         raise ValueError(f"unknown pricing {pricing!r}")
+    else:
+        eng = driver
+        if eng == "auto":
+            import jax
+
+            elems = (state.m + 2) * (state.n + 1)
+            if elems < 200_000:
+                eng = "rank1"
+            elif (elems >= 4_000_000
+                  and jax.default_backend() not in ("cpu",)):
+                # the Mosaic kernel costs minutes of per-shape compile:
+                # worth it only when the tableau is big enough that its
+                # ~10x throughput edge over the jnp blocked driver pays
+                eng = "pallas"
+            else:
+                eng = "blocked"
+        if eng == "rank1":
+            out = run_simplex(state, options)
+        elif eng == "blocked":
+            from .blocked import run_simplex_blocked
+
+            out = run_simplex_blocked(state, options, block=block)
+        elif eng == "pallas":
+            from .blocked_pallas import run_simplex_blocked_pallas
+
+            out = run_simplex_blocked_pallas(state, options,
+                                             block=max(block, 128))
+        else:
+            raise ValueError(f"unknown driver {driver!r}")
     status_code = int(out.status)
     status = Status.NAMES.get(status_code, f"status_{status_code}")
     niter = int(out.niter)
@@ -336,6 +374,8 @@ def solve_lp(
     shard_block: int = 64,
     simple_bounds: bool = False,
     pricing: str = "default",
+    driver: str = "auto",
+    block: int = 64,
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
@@ -365,7 +405,8 @@ def solve_lp(
                               refine=refine, fallback=fallback, duals=duals,
                               mesh=mesh, shard_axis=shard_axis,
                               shard_driver=shard_driver,
-                              shard_block=shard_block, pricing=pricing)
+                              shard_block=shard_block, pricing=pricing,
+                              driver=driver, block=block)
     if duals and is_prog and sol.y is not None:
         from .refine import original_sensitivity
 
