@@ -70,3 +70,53 @@ def test_devex_statuses_and_random_parity():
         if int(a.status) == Status.OPTIMAL:
             assert float(d.objective()) == pytest.approx(
                 float(a.objective()), rel=1e-9), trial
+
+
+def test_blocked_devex_matches_rank1_devex():
+    """RULE_DEVEX in the rank-K blocked driver: same exact optimum as the
+    rank-1 devex driver and a pivot count far below Dantzig. (Exact
+    pivot-SEQUENCE parity — which the Dantzig drivers pin — does not hold
+    for devex: scores are continuous c^2/gamma values, so the eta
+    reconstruction's last-ulp differences legitimately flip near-ties;
+    measured 64 vs 86 pivots on this case, both optimal, both well under
+    the 181-pivot Dantzig walk.)"""
+    import dataclasses
+
+    from tpulp.core import RULE_DEVEX
+    from tpulp.corpus import get_case
+    from tpulp.solve.blocked import run_simplex_blocked
+
+    case = get_case("equality_heavy_24")
+    sf = case.lp().lower()
+    opts = SolverOptions.for_dtype(jnp.float64, max_iters=case.max_iters)
+    r1 = run_simplex_devex(state_from_standard_form(sf), opts)
+    bl = run_simplex_blocked(
+        state_from_standard_form(sf),
+        dataclasses.replace(opts, rule=RULE_DEVEX), block=16)
+    assert int(r1.status) == int(bl.status) == Status.OPTIMAL
+    assert int(bl.niter) < 0.75 * 181      # beats the Dantzig pivot count
+    assert int(r1.niter) < 0.75 * 181
+    assert float(bl.objective()) == pytest.approx(float(r1.objective()),
+                                                  rel=1e-9)
+
+
+def test_solve_lp_devex_routes_blocked_for_big_instances():
+    """pricing='devex' + driver='blocked' via the public API on a case big
+    enough that auto-selection would also leave rank-1."""
+    from tpulp.corpus import get_case
+
+    case = get_case("equality_heavy_96")
+    sol = solve_lp(case.lp().lower(), max_iters=case.max_iters,
+                   pricing="devex", driver="blocked", block=16)
+    assert sol.status == "optimal"
+    assert sol.objective == case.objective
+    # the point: far fewer pivots than the 2507 Dantzig baseline
+    assert sol.niter < 1000
+
+
+def test_pallas_devex_rejected():
+    from tpulp.corpus import get_case
+
+    with pytest.raises(ValueError):
+        solve_lp(get_case("textbook").lp().lower(), pricing="devex",
+                 driver="pallas")

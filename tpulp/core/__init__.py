@@ -3,6 +3,7 @@
 from .state import (
     RULE_BLAND,
     RULE_DANTZIG,
+    RULE_DEVEX,
     RULE_MAX_INCREASE,
     SimplexState,
     SolverOptions,
@@ -27,6 +28,7 @@ __all__ = [
     "RULE_DANTZIG",
     "RULE_BLAND",
     "RULE_MAX_INCREASE",
+    "RULE_DEVEX",
     "is_canonical",
     "is_degenerate",
     "is_infeasible_form",

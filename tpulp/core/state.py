@@ -43,6 +43,7 @@ __all__ = [
     "RULE_DANTZIG",
     "RULE_BLAND",
     "RULE_MAX_INCREASE",
+    "RULE_DEVEX",
 ]
 
 RULE_DANTZIG = 0
@@ -51,6 +52,11 @@ RULE_BLAND = 1
 # /root/reference/lpsol/simplex.py:286-328): scans the whole tableau per
 # pivot — same O(m n) cost class as the pivot itself, opt-in
 RULE_MAX_INCREASE = 2
+# devex reference-framework pricing (c_j^2 / gamma_j): far fewer pivots on
+# equality-heavy instances; honored by the rank-K blocked driver (the
+# rank-1 path has its own devex driver, tpulp.solve.devex); no reference
+# counterpart
+RULE_DEVEX = 3
 
 
 class Status:

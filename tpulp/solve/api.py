@@ -205,13 +205,9 @@ def solve_standard_form(
         else:
             raise ValueError(f"unknown shard_driver {shard_driver!r}")
         out = from_sharded_state(osh, state.n)
-    elif pricing == "devex":
-        from .devex import run_simplex_devex
-
-        out = run_simplex_devex(state, options)
-    elif pricing != "default":
-        raise ValueError(f"unknown pricing {pricing!r}")
     else:
+        if pricing not in ("default", "devex"):
+            raise ValueError(f"unknown pricing {pricing!r}")
         eng = driver
         if eng == "auto":
             import jax
@@ -219,21 +215,34 @@ def solve_standard_form(
             elems = (state.m + 2) * (state.n + 1)
             if elems < 200_000:
                 eng = "rank1"
-            elif (elems >= 4_000_000
+            elif (elems >= 4_000_000 and pricing == "default"
                   and jax.default_backend() not in ("cpu",)):
                 # the Mosaic kernel costs minutes of per-shape compile:
                 # worth it only when the tableau is big enough that its
                 # ~10x throughput edge over the jnp blocked driver pays
+                # (and it has no devex rule)
                 eng = "pallas"
             else:
                 eng = "blocked"
         if eng == "rank1":
-            out = run_simplex(state, options)
+            if pricing == "devex":
+                from .devex import run_simplex_devex
+
+                out = run_simplex_devex(state, options)
+            else:
+                out = run_simplex(state, options)
         elif eng == "blocked":
+            from ..core.state import RULE_DEVEX
             from .blocked import run_simplex_blocked
 
-            out = run_simplex_blocked(state, options, block=block)
+            opts_eng = dataclasses.replace(options, rule=RULE_DEVEX) \
+                if pricing == "devex" else options
+            out = run_simplex_blocked(state, opts_eng, block=block)
         elif eng == "pallas":
+            if pricing == "devex":
+                raise ValueError(
+                    "the Pallas kernel has no devex rule yet; use "
+                    "driver='blocked' (or 'auto') with pricing='devex'")
             from .blocked_pallas import run_simplex_blocked_pallas
 
             out = run_simplex_blocked_pallas(state, options,

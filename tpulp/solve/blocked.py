@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.state import RULE_BLAND, SimplexState, SolverOptions, Status
+from ..core.state import (RULE_BLAND, RULE_DEVEX, SimplexState,
+                          SolverOptions, Status)
 
 __all__ = ["run_simplex_blocked", "run_simplex_blocked_batch"]
 
@@ -54,6 +55,7 @@ class _BlockCarry(NamedTuple):
     row0: jax.Array      # (n+1,) current phase-2 objective row
     row1: jax.Array      # (n+1,) current phase-1 objective row
     bvec: jax.Array      # (m+2,) current RHS column
+    gamma: jax.Array     # (n,) devex weights (all-ones unless RULE_DEVEX)
 
 
 def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
@@ -93,9 +95,16 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     improving = c_eff < -opts.opt_tol
     has_improving = jnp.any(improving)
     use_bland = s.bland | (opts.rule == RULE_BLAND)
-    j_dantzig = jnp.argmin(c_eff).astype(jnp.int32)
+    if opts.rule == RULE_DEVEX:
+        # devex reference-framework pricing: argmax c^2 / gamma over
+        # improving columns (opts.rule is static — other rules never pay)
+        score = jnp.where(improving, (crow * crow) / carry.gamma,
+                          -jnp.asarray(jnp.inf, dtype))
+        j_best = jnp.argmax(score).astype(jnp.int32)
+    else:
+        j_best = jnp.argmin(c_eff).astype(jnp.int32)
     j_bland = jnp.min(jnp.where(improving, col_ids, n - 1)).astype(jnp.int32)
-    j_price = jnp.where(use_bland, j_bland, j_dantzig)
+    j_price = jnp.where(use_bland, j_bland, j_best)
 
     # ---- phase bookkeeping scalars ----------------------------------------
     z1 = -carry.row1[-1]
@@ -150,7 +159,24 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     row1 = carry.row1 + w[1] * vrow
     bvec = carry.bvec + w * vrow[-1]
 
+    leaving = s.basis[r]
     basis = jnp.where(act, s.basis.at[r].set(j), s.basis)
+
+    # ---- devex weight update (post-pivot row r = vrow / piv) --------------
+    if opts.rule == RULE_DEVEX:
+        gamma_q = carry.gamma[j]
+        alpha = vrow[:-1] / safe_piv
+        cand = (alpha * alpha) * gamma_q
+        upd = do_pricing & act
+        gamma = jnp.where(upd, jnp.maximum(carry.gamma, cand), carry.gamma)
+        gamma = jnp.where(
+            upd,
+            gamma.at[leaving].set(
+                jnp.maximum(gamma_q / (safe_piv * safe_piv), 1.0)),
+            gamma)
+        gamma = jnp.where(jnp.max(gamma) > 1e8, jnp.ones_like(gamma), gamma)
+    else:
+        gamma = carry.gamma
 
     # ---- stall / Bland switch (fix of SURVEY §2.7-2: current objective) ---
     z = jnp.where(s.phase == 1, -row1[-1], -row0[-1])
@@ -167,6 +193,9 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     col_active = jnp.where(to_phase2, s.col_active & ~art_cols, s.col_active)
     stuck = jnp.where(to_phase2, 0, stuck)
     last_z = jnp.where(to_phase2, inf, last_z)
+    if opts.rule == RULE_DEVEX:
+        # phase transition re-anchors the reference framework
+        gamma = jnp.where(to_phase2, jnp.ones_like(gamma), gamma)
 
     finished_opt = in_phase2 & ~has_improving & ~cleanup & running
     # Non-finite guard (same contract as driver.py): NaN poisons pricing into
@@ -200,7 +229,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     )
     return _BlockCarry(
         s=s, U=U, V=V, t=carry.t + act.astype(jnp.int32),
-        row0=row0, row1=row1, bvec=bvec)
+        row0=row0, row1=row1, bvec=bvec, gamma=gamma)
 
 
 @functools.lru_cache(maxsize=32)
@@ -211,7 +240,7 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
         N = state.T.shape[1]
         dtype = state.T.dtype
 
-        def fresh_carry(s: SimplexState) -> _BlockCarry:
+        def fresh_carry(s: SimplexState, gamma=None) -> _BlockCarry:
             return _BlockCarry(
                 s=s,
                 U=jnp.zeros((K, M), dtype=dtype),
@@ -220,6 +249,7 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
                 row0=s.T[0, :],
                 row1=s.T[1, :],
                 bvec=s.T[:, -1],
+                gamma=jnp.ones((N - 1,), dtype) if gamma is None else gamma,
             )
 
         def outer_cond(carry):
@@ -240,7 +270,8 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
             T = carry.s.T + jnp.einsum(
                 'km,kn->mn', carry.U, carry.V, preferred_element_type=dtype,
                 precision=lax.Precision.HIGHEST)
-            return fresh_carry(carry.s._replace(T=T))
+            # devex weights persist across the flush boundary
+            return fresh_carry(carry.s._replace(T=T), carry.gamma)
 
         out = lax.while_loop(outer_cond, outer_body, fresh_carry(state)).s
         return out._replace(status=jnp.where(
