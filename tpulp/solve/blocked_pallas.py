@@ -42,7 +42,11 @@ __all__ = ["run_simplex_blocked_pallas"]
 def _pad8(x: int) -> int:
     # both dims padded to 128: a window DMA slices dim0 by 8 (sublane tile)
     # and dim1 fully, and Mosaic requires full-width slices to be 128-aligned
-    # (lane tile); T and Tt are transposes so both dims need both properties
+    # (lane tile); T and Tt are transposes so both dims need both properties.
+    # Small instances pay up to +127 rows/cols of zero traffic here — which
+    # is why solve_lp's 'auto' engine selection keeps tableaus below ~4M
+    # elements on the rank-1/blocked drivers and routes only genuinely
+    # large ones to this kernel (solve/api.py)
     return -(-x // 128) * 128
 
 
