@@ -370,3 +370,27 @@ class TestSetCoverFamily:
         assert full.status == "optimal"
         assert full.mip_gap == 0.0
         assert full.objective == self._brute(covers, costs, n_elems)
+
+
+def test_pool_overflow_falls_back_to_cold_solves(monkeypatch):
+    """With the warm-start state pool shrunk to ONE slot, most children
+    must cold-solve (mixed warm/cold waves, deferred-write flushes) and the
+    optimum must be unchanged — slot availability is a performance detail,
+    never a correctness dependency."""
+    import numpy as np
+
+    import tpulp.milp.bnb as bnb
+
+    monkeypatch.setattr(bnb, "POOL_CAP_MAX", 1)
+    rng = np.random.default_rng(3)
+    n = 18
+    values = [int(v) for v in rng.integers(10, 60, size=n)]
+    weights = [int(w) for w in rng.integers(5, 25, size=n)]
+    cap = int(sum(weights) * 0.4)
+    lp = knapsack(values, weights, cap)
+    sol, stats = solve_milp(lp, batch_size=8, return_stats=True)
+    assert sol.status == "optimal"
+    assert sol.objective == dp_knapsack_oracle(values, weights, cap)
+    # the tiny pool genuinely forced cold re-solves alongside warm ones
+    assert stats.warm_nodes < stats.nodes_solved - 1
+    assert stats.warm_nodes > 0

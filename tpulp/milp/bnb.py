@@ -52,6 +52,12 @@ from ..batch.vmap_driver import (
 
 __all__ = ["solve_milp", "BnbStats"]
 
+# hard ceiling on the warm-start state pool (slots of (m+2, n+1) parent
+# frames in HBM); when the frontier outgrows the pool, overflow children
+# simply solve cold — correctness never depends on a slot being available.
+# Module-level so tests can shrink it to exercise the overflow path.
+POOL_CAP_MAX = 2048
+
 
 @dataclasses.dataclass
 class BnbStats:
@@ -304,7 +310,7 @@ def solve_milp(
         nonlocal pool_T, pool_basis, pool_cap, free_slots
         bytes_per = ((root_sf.m + 2)
                      * (template.T.shape[2]) * template.T.dtype.itemsize)
-        pool_cap = int(min(2048, max(4 * batch_size, 64),
+        pool_cap = int(min(POOL_CAP_MAX, max(4 * batch_size, 64),
                            max(64, 512_000_000 // max(bytes_per, 1))))
         pool_T = jnp.zeros((pool_cap,) + template.T.shape[1:],
                            template.T.dtype)
