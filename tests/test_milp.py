@@ -242,6 +242,45 @@ class TestMilpCheckpointResume:
         assert sol.status == "optimal"
         assert sol.objective == solve_milp(lp).objective
 
+    def _presolve_reducible(self):
+        """A knapsack plus a bound-fixed integer var: presolve eliminates
+        ``f`` (lb == ub == 2), so checkpoints are written in REDUCED space."""
+        lp = knapsack([10, 13, 7, 8, 9, 12], [5, 6, 4, 3, 5, 7], 13)
+        # ``f`` is branchable as-written ([0, 5] integral) but the singleton
+        # equality row pins it, so presolve fixes + eliminates it — the
+        # reduced branch-variable set differs from the unreduced one
+        lp.addVar("f", integral=True, lb=0, ub=5)
+        lp.addConstraint(LinExpr(1, "f").constraintEq(2))
+        lp.maximize(lp.objective.expr + LinExpr(5, "f"))
+        return lp
+
+    def test_resume_after_presolve_round_trip(self, tmp_path):
+        # ADVICE r3 (high): checkpoints written by the presolve-reduced inner
+        # solve must resume correctly — presolve re-runs on resume, and the
+        # recover map restores eliminated variables in the final Solution.
+        lp = self._presolve_reducible()
+        full = solve_milp(lp)
+        assert full.status == "optimal" and full.x["f"] == 2
+        ck = str(tmp_path / "bnb.json")
+        partial = solve_milp(lp, batch_size=4, max_nodes=4,
+                             checkpoint_path=ck, checkpoint_every=1)
+        assert partial.status in ("node_limit", "optimal")
+        sol = solve_milp(lp, batch_size=16, resume_from=ck)
+        assert sol.status == "optimal"
+        assert sol.objective == full.objective
+        # the presolve-eliminated variable is recovered on the resumed path
+        assert sol.x["f"] == 2
+
+    def test_resume_presolve_mismatch_raises(self, tmp_path):
+        # a checkpoint written in reduced space must not silently resume
+        # against the original (unreduced) program
+        lp = self._presolve_reducible()
+        ck = str(tmp_path / "bnb.json")
+        solve_milp(lp, batch_size=4, max_nodes=4,
+                   checkpoint_path=ck, checkpoint_every=1)
+        with pytest.raises(ValueError, match="branch variables"):
+            solve_milp(lp, resume_from=ck, presolve=False)
+
 
 class TestWarmStart:
     """Dual-simplex warm starts (VERDICT r2 item 1): B&B children re-solve

@@ -171,9 +171,14 @@ def solve_milp(
         raise TypeError("solve_milp needs the LinProg (it re-bounds integer "
                         "variables); pass the program, not a StandardForm")
 
-    if presolve and resume_from is None:
+    if presolve:
         # exact root presolve (MILP-safe: integral bounds only ever snap
-        # tighter): every removed row/column shrinks EVERY node's tableau
+        # tighter): every removed row/column shrinks EVERY node's tableau.
+        # Presolve is a deterministic function of ``prog``, so it also runs
+        # on RESUME: a checkpoint written by the inner (reduced-space) solve
+        # is resumed against the same reduced program, and the recover map
+        # is re-derived — the checkpoint meta's branch-variable list is
+        # validated below to catch presolve-setting mismatches.
         from ..model.presolve import presolve as _presolve
 
         res = _presolve(prog)
@@ -185,9 +190,15 @@ def solve_milp(
                               batch_size=batch_size, max_nodes=max_nodes,
                               refine=refine, exact_max_m=exact_max_m,
                               int_tol=int_tol, presolve=False)
-            status = "infeasible" if feas.status == "infeasible" \
-                else "unbounded"
-            sol = Solution(status=status)
+            if feas.status == "infeasible":
+                sol = Solution(status="infeasible")
+            elif feas.status == "optimal" or feas.x is not None:
+                # feasibility proven (optimum or an incumbent on node_limit)
+                sol = Solution(status="unbounded")
+            else:
+                # node_limit with no incumbent / numerical_error: feasibility
+                # unproven — propagate the indeterminate status unchanged
+                sol = Solution(status=feas.status)
             return (sol, BnbStats()) if return_stats else sol
         if not res.prog.allVarNames():   # fully solved by presolve
             obj = res.prog.objective.expr.getConstant()
@@ -201,6 +212,7 @@ def solve_milp(
                              int_tol=int_tol, return_stats=return_stats,
                              checkpoint_path=checkpoint_path,
                              checkpoint_every=checkpoint_every,
+                             resume_from=resume_from,
                              presolve=False, **opt_overrides)
             sol, st = out if return_stats else (out, None)
             if sol.x is not None:
@@ -254,6 +266,18 @@ def solve_milp(
         from ..io.checkpoint import load_bnb_frontier
 
         loaded, incumbent_z, ck_meta = load_bnb_frontier(resume_from)
+        # the checkpoint was written in THIS solve's variable space (after
+        # any presolve reductions — presolve re-runs deterministically on
+        # resume). A mismatch means the program changed or the presolve
+        # setting differs from the writing run: fail loudly instead of
+        # KeyError-ing later at branch time.
+        ck_vars = ck_meta.get("branch_vars")
+        if ck_vars is not None and sorted(ck_vars) != sorted(branch_names):
+            raise ValueError(
+                "checkpoint branch variables do not match this program's "
+                f"(checkpoint: {sorted(ck_vars)}, program: "
+                f"{sorted(branch_names)}); resume with the same program and "
+                "presolve setting that wrote the checkpoint")
         counter = itertools.count(
             start=1 + max((tb for _, tb, _, _ in loaded), default=0))
         for bound, tb, bounds, _pbasis in loaded:
@@ -275,7 +299,8 @@ def solve_milp(
     def _checkpoint():
         from ..io.checkpoint import save_bnb_frontier
 
-        meta = {"nodes_solved": stats.nodes_solved}
+        meta = {"nodes_solved": stats.nodes_solved,
+                "branch_vars": sorted(branch_names)}
         if incumbent is not None:
             meta["incumbent"] = {
                 "objective": str(Fraction(incumbent.objective)),

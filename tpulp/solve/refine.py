@@ -350,8 +350,12 @@ def original_sensitivity(prog, sf: StandardForm, y_std):
       back (``StandardForm.row_provenance``).
     * ``reduced_costs`` — {variable name: original-sense reduced cost
       ``c_j - y . A_j`` over the ORIGINAL data}; at optimality basic
-      variables get 0 and nonbasic ones price out (>= 0 for min, <= 0 for
-      max). Exact Fractions when ``y_std`` is exact.
+      variables get 0 and nonbasic ones price out AT THE BOUND THEY SIT ON:
+      for a min problem, >= 0 when nonbasic at a lower bound and <= 0 when
+      nonbasic at an upper bound (a variable lowered via the ub-only negated
+      substitution lands in the second class); signs reverse for max. A
+      consumer that assumes one global sign will misread optimal output for
+      at-upper-bound variables. Exact Fractions when ``y_std`` is exact.
 
     The reference exposed no sensitivity output at all; this is the layer
     VERDICT r2 item 8 asked to finish.
