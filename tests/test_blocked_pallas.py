@@ -81,3 +81,55 @@ class TestPallasBlocked:
         inf.addConstraint(LinExpr(1, "x").constraintGeq(3))
         st2 = state_from_standard_form(inf.lower())
         assert int(run_simplex_blocked_pallas(st2).status) == Status.INFEASIBLE
+
+
+class TestPallasDevex:
+    """Devex pricing inside the Pallas kernel (VERDICT r3 item 3): the
+    compiled and jnp RULE_DEVEX drivers must walk the same pivot path."""
+
+    def _devex_opts(self, dtype=jnp.float64):
+        import dataclasses
+
+        from tpulp.core.state import RULE_DEVEX, SolverOptions
+
+        return dataclasses.replace(
+            SolverOptions.for_dtype(dtype), rule=RULE_DEVEX)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_parity_with_jnp_blocked_devex(self, seed):
+        st = random_state(seed)
+        opts = self._devex_opts()
+        ref = run_simplex_blocked(st, opts, block=8)
+        out = run_simplex_blocked_pallas(st, opts, block=8)
+        assert int(out.status) == int(ref.status)
+        assert int(out.niter) == int(ref.niter)
+        assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+        if int(ref.status) == Status.OPTIMAL:
+            assert abs(float(out.objective()) - float(ref.objective())) < 1e-9
+
+    def test_equality_heavy_devex_cuts_pivots(self):
+        # a phase-1-deep equality system: devex needs strictly fewer pivots
+        # than Dantzig on the same instance, and both land the same optimum
+        from tpulp.corpus import get_case
+        from tpulp.solve.api import state_from_standard_form as _sfs
+
+        lp = get_case("equality_heavy_24").lp()
+        st = _sfs(lp.lower())
+        dantzig = run_simplex_blocked_pallas(st, block=8)
+        devex = run_simplex_blocked_pallas(st, self._devex_opts(), block=8)
+        assert int(dantzig.status) == Status.OPTIMAL
+        assert int(devex.status) == Status.OPTIMAL
+        assert abs(float(devex.objective())
+                   - float(dantzig.objective())) < 1e-6
+        assert int(devex.niter) < int(dantzig.niter)
+
+    def test_solve_lp_accepts_pallas_devex(self):
+        # the api-level rejection is lifted: pricing='devex' composes with
+        # driver='pallas' (interpret mode on CPU)
+        from tpulp.corpus import get_case
+        from tpulp.solve import solve_lp
+
+        case = get_case("textbook")
+        sol = solve_lp(case.lp(), pricing="devex", driver="pallas")
+        assert sol.status == "optimal"
+        assert sol.objective == case.objective

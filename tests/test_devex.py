@@ -114,9 +114,11 @@ def test_solve_lp_devex_routes_blocked_for_big_instances():
     assert sol.niter < 1000
 
 
-def test_pallas_devex_rejected():
+def test_pallas_devex_supported():
+    # round 4 lifted the r3 rejection: devex pricing rides the Pallas engine
     from tpulp.corpus import get_case
 
-    with pytest.raises(ValueError):
-        solve_lp(get_case("textbook").lp().lower(), pricing="devex",
-                 driver="pallas")
+    case = get_case("textbook")
+    sol = solve_lp(case.lp().lower(), pricing="devex", driver="pallas")
+    assert sol.status == "optimal"
+    assert sol.objective == case.objective

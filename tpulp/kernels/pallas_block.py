@@ -41,12 +41,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.state import RULE_BLAND, SolverOptions, Status
+from ..core.state import RULE_BLAND, RULE_DEVEX, SolverOptions, Status
 
 __all__ = ["blocked_inner_block"]
 
 BIG_I = 2**30  # python int: jnp constants captured by kernels are rejected
 ROWW = 8       # HBM window height = the sublane tile size
+DEVEX_RESET = 1e8  # re-anchor the reference framework past this weight
 
 
 def _first_true_index(mask_2d, n, big=BIG_I):
@@ -73,13 +74,14 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
     m: real constraint-row count (rows 2..m+1 of T are constraints)."""
     inf = float("inf")  # python float: avoids captured-constant rejection
     use_bland_static = opts.rule == RULE_BLAND
+    use_devex_static = opts.rule == RULE_DEVEX
     m8 = M8 - 2
 
     def kernel(T_hbm, Tt_hbm,
                row0_in, row1_in, bvec_in, ca_in, ac_in, basis_in, ab_in,
-               iscal_in, fscal_in,
+               gamma_in, iscal_in, fscal_in,
                U, V,
-               row0, row1, bvec, ca, ac, basis, ab, iscal, fscal,
+               row0, row1, bvec, ca, ac, basis, ab, gamma, iscal, fscal,
                colj_s, vrow_s, rowd_s, rowdv_s, sem_c, sem_r, sem_d):
         # Inputs are copied into the outputs up front and all further reads
         # and writes go through the output refs. (input_output_aliases is NOT
@@ -94,6 +96,7 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
         ac[...] = ac_in[...]
         basis[...] = basis_in[...]
         ab[...] = ab_in[...]
+        gamma[...] = gamma_in[...]
         for _i in range(8):
             iscal[_i] = iscal_in[_i]
         for _i in range(2):
@@ -161,7 +164,18 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
                 improving = c_eff < -opts.opt_tol
                 has_improving = jnp.any(improving)
                 use_bland = (bland > 0) | use_bland_static
-                j_dz, _cmin = _argmin_first(c_eff)
+                if use_devex_static:
+                    # devex reference-framework pricing (mirrors
+                    # solve.blocked RULE_DEVEX): argmax c^2 / gamma over
+                    # improving columns, first index on ties like jnp.argmax
+                    gamma_v = gamma[...]
+                    score = jnp.where(improving, (crow * crow) / gamma_v,
+                                      -inf)
+                    j_dz = jnp.minimum(
+                        _first_true_index(score >= jnp.max(score), N8),
+                        Nr - 2)
+                else:
+                    j_dz, _cmin = _argmin_first(c_eff)
                 j_bl = jnp.minimum(_first_true_index(improving, N8), Nr - 2)
                 j_price = jnp.where(use_bland, j_bl, j_dz)
 
@@ -266,6 +280,34 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
                                  == r_d)
                     ab[...] = jnp.where(is_rd_row, 0, ab[...])
 
+                # ---- devex weight update (mirrors solve.blocked) -----------
+                if use_devex_static:
+                    # post-pivot row r = vrow / piv; weights live on the real
+                    # pricing columns only (RHS + pads masked so a spurious
+                    # pad weight can never trigger a frame reset)
+                    gamma_q = jnp.sum(jnp.where(onehot_jn, gamma_v, 0.0))
+                    alpha = vrow / safe_piv
+                    real_cols = (lax.broadcasted_iota(jnp.int32, (1, N8), 1)
+                                 < Nr - 1)
+                    cand = jnp.where(real_cols, (alpha * alpha) * gamma_q,
+                                     0.0)
+                    upd = do_pricing
+                    g_new = jnp.where(upd, jnp.maximum(gamma_v, cand),
+                                      gamma_v)
+                    leaving = jnp.sum(jnp.where(
+                        lax.broadcasted_iota(jnp.int32, (1, m8), 1) == r,
+                        basis_v, 0))
+                    onehot_leave = (
+                        lax.broadcasted_iota(jnp.int32, (1, N8), 1)
+                        == leaving)
+                    leave_val = jnp.maximum(
+                        gamma_q / (safe_piv * safe_piv), 1.0)
+                    g_new = jnp.where(upd & onehot_leave, leave_val, g_new)
+                    # re-anchor the frame on overflow or phase transition
+                    reset = (jnp.max(g_new) > DEVEX_RESET) | to_phase2
+                    gamma[...] = jnp.where(reset, jnp.ones_like(g_new),
+                                           g_new)
+
                 # ---- stall / Bland switch ----------------------------------
                 z = jnp.where(phase == 1, -row1[0, Nr - 1], -row0[0, Nr - 1])
                 improved = (last_z - z) > opts.degen_tol
@@ -329,7 +371,7 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
     static_argnames=("opts", "stall_limit", "K", "n_real", "m_real",
                      "interpret"))
 def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
-                        basis, art_basic, iscal, fscal,
+                        basis, art_basic, gamma, iscal, fscal,
                         opts: SolverOptions, stall_limit: int, K: int,
                         n_real: int, m_real: int,
                         interpret: bool = False):
@@ -339,13 +381,14 @@ def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
     contract): T (M8, N8); Tt (N8, M8); row0/row1 (1, N8); bvec (1, M8);
     col_active/art_cols (1, N8) int32 (zero at the RHS column n_real-1 and
     all pads); basis/art_basic (1, M8-2) int32 (basis pads BIG, art pads 0);
-    iscal (8,) int32 [phase, status, niter, stuck, bland, t, -, -];
-    fscal (2,) dtype [last_z, -]. n_real/m_real are the logical column/row
-    counts.
+    gamma (1, N8) dtype devex weights (ones when unused; only read/updated
+    under RULE_DEVEX); iscal (8,) int32 [phase, status, niter, stuck, bland,
+    t, -, -]; fscal (2,) dtype [last_z, -]. n_real/m_real are the logical
+    column/row counts.
 
     Returns (U, V, row0, row1, bvec, col_active, art_cols, basis,
-    art_basic, iscal, fscal) — max_iters is enforced by the caller between
-    blocks (a block may overshoot by at most K pivots)."""
+    art_basic, gamma, iscal, fscal) — max_iters is enforced by the caller
+    between blocks (a block may overshoot by at most K pivots)."""
     M8, N8 = T.shape
     m8 = M8 - 2
     dtype = T.dtype
@@ -365,6 +408,7 @@ def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # art_cols
             pl.BlockSpec(memory_space=pltpu.VMEM),  # basis
             pl.BlockSpec(memory_space=pltpu.VMEM),  # art_basic
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma
             pl.BlockSpec(memory_space=pltpu.SMEM),  # iscal
             pl.BlockSpec(memory_space=pltpu.SMEM),  # fscal
         ],
@@ -378,6 +422,7 @@ def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gamma
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -391,6 +436,7 @@ def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
             jax.ShapeDtypeStruct((1, N8), jnp.int32),
             jax.ShapeDtypeStruct((1, m8), jnp.int32),
             jax.ShapeDtypeStruct((1, m8), jnp.int32),
+            jax.ShapeDtypeStruct((1, N8), dtype),
             jax.ShapeDtypeStruct((8,), jnp.int32),
             jax.ShapeDtypeStruct((2,), dtype),
         ],
@@ -405,5 +451,5 @@ def blocked_inner_block(T, Tt, row0, row1, bvec, col_active, art_cols,
         ],
         interpret=interpret,
     )(T, Tt, row0, row1, bvec, col_active, art_cols, basis, art_basic,
-      iscal, fscal)
+      gamma, iscal, fscal)
     return outs

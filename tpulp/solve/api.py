@@ -154,8 +154,9 @@ def solve_standard_form(
     kernel — the 13× bench headline engine, compiled TPU only), or 'auto'
     (DEFAULT): rank-1 below ~200k tableau elements, above that the Pallas
     kernel on a real TPU backend and the blocked driver elsewhere. Devex
-    pricing, simple_bounds lowerings and mesh solving each pin their own
-    engine (rank-1 / bounded / sharded).
+    pricing rides every single-device engine (rank-1 / blocked / pallas);
+    simple_bounds lowerings and mesh solving pin their own engine
+    (bounded / sharded).
 
     ``fallback='auto'`` climbs a precision ladder on numeric failure (the
     drivers report Status.NUMERIC when f32 iterates go non-finite; the
@@ -215,12 +216,11 @@ def solve_standard_form(
             elems = (state.m + 2) * (state.n + 1)
             if elems < 200_000:
                 eng = "rank1"
-            elif (elems >= 4_000_000 and pricing == "default"
+            elif (elems >= 4_000_000
                   and jax.default_backend() not in ("cpu",)):
                 # the Mosaic kernel costs minutes of per-shape compile:
                 # worth it only when the tableau is big enough that its
                 # ~10x throughput edge over the jnp blocked driver pays
-                # (and it has no devex rule)
                 eng = "pallas"
             else:
                 eng = "blocked"
@@ -239,13 +239,12 @@ def solve_standard_form(
                 if pricing == "devex" else options
             out = run_simplex_blocked(state, opts_eng, block=block)
         elif eng == "pallas":
-            if pricing == "devex":
-                raise ValueError(
-                    "the Pallas kernel has no devex rule yet; use "
-                    "driver='blocked' (or 'auto') with pricing='devex'")
+            from ..core.state import RULE_DEVEX
             from .blocked_pallas import run_simplex_blocked_pallas
 
-            out = run_simplex_blocked_pallas(state, options,
+            opts_eng = dataclasses.replace(options, rule=RULE_DEVEX) \
+                if pricing == "devex" else options
+            out = run_simplex_blocked_pallas(state, opts_eng,
                                              block=max(block, 128))
         else:
             raise ValueError(f"unknown driver {driver!r}")

@@ -60,6 +60,7 @@ class _Carry(NamedTuple):
     ac: jax.Array         # (1, N8) int32
     basis: jax.Array      # (1, M8-2) int32
     ab: jax.Array         # (1, M8-2) int32
+    gamma: jax.Array      # (1, N8) dtype devex weights (ones unless devex)
     iscal: jax.Array      # (8,) int32 [phase, status, niter, stuck, bland, t]
     fscal: jax.Array      # (2,) dtype [last_z]
 
@@ -95,6 +96,7 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
             ac=ac,
             basis=basis,
             ab=ab,
+            gamma=jnp.ones((1, N8), dtype),
             iscal=jnp.stack([
                 state.phase.astype(jnp.int32),
                 state.status.astype(jnp.int32),
@@ -113,10 +115,10 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
             return (c.iscal[1] == Status.RUNNING) & (c.iscal[2] < max_iters)
 
         def body(c: _Carry):
-            (U, V, row0, row1, bvec, ca, ac, basis, ab, iscal,
+            (U, V, row0, row1, bvec, ca, ac, basis, ab, gamma, iscal,
              fscal) = blocked_inner_block(
                  c.T, c.Tt, c.row0, c.row1, c.bvec, c.ca, c.ac, c.basis,
-                 c.ab, c.iscal, c.fscal,
+                 c.ab, c.gamma, c.iscal, c.fscal,
                  opts=opts, stall_limit=stall_limit, K=K,
                  n_real=N, m_real=m, interpret=interpret)
             # flush the rank-K update into T (one MXU matmul), then derive
@@ -137,11 +139,13 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
             Tt = T.T
             # re-derive the running vectors from the flushed tableau (kills
             # incremental drift once per block)
+            # devex weights persist across the flush boundary (matching the
+            # jnp blocked driver)
             return _Carry(
                 T=T, Tt=Tt,
                 row0=T[0:1, :], row1=T[1:2, :],
                 bvec=T[:, N - 1].reshape(1, M8),
-                ca=ca, ac=ac, basis=basis, ab=ab,
+                ca=ca, ac=ac, basis=basis, ab=ab, gamma=gamma,
                 iscal=iscal.at[5].set(0), fscal=fscal)
 
         out = lax.while_loop(cond, body, carry)

@@ -24,6 +24,14 @@ anti-cycling fallback, NUMERIC guard), carrying the weight vector alongside
 No reference counterpart: lpsol's pricing surface is Dantzig / Bland /
 greatest-increase (/root/reference/lpsol/simplex.py:218-328); devex is the
 production pricing layer it never had.
+
+Known behavior (measured, round 4): on UNBOUNDED instances devex can be far
+slower than Dantzig to select a ray column (a 128x192 random dense LP ran to
+the 10k pivot budget where Dantzig detected unboundedness in ~900) — the
+weight scores steer away from the ray direction. Correctness is preserved
+(iteration_limit escalates the precision ladder, which reports the true
+status), but this is why ``solve_lp`` only AUTO-selects devex for
+equality-heavy shapes rather than globally.
 """
 
 from __future__ import annotations
