@@ -321,3 +321,61 @@ class TestHybridMesh:
         assert int(out2d.niter) == int(outf.niter)
         assert np.array_equal(np.asarray(out2d.basis),
                               np.asarray(outf.basis))
+
+
+class TestShardedBlockedDevex:
+    """Devex pricing on the column-partitioned eta driver (VERDICT r3 item
+    3): gamma is sharded like the tableau columns, gamma_q rides the fused
+    per-pivot psum, and the walk pins against the single-device blocked
+    RULE_DEVEX driver."""
+
+    def _devex_opts(self, dtype=jnp.float64, **kw):
+        import dataclasses
+
+        from tpulp.core import RULE_DEVEX
+
+        return dataclasses.replace(
+            SolverOptions.for_dtype(dtype, **kw), rule=RULE_DEVEX)
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    @pytest.mark.parametrize("block", [8, 32])
+    def test_pivot_parity_vs_blocked_devex(self, mesh, seed, block):
+        st = random_dense_state(seed)
+        opts = self._devex_opts()
+        ref = run_simplex_blocked(st, opts, block=block)
+        out_sh = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, opts, block=block)
+        out = from_sharded_state(out_sh, st.n)
+        assert int(out.status) == int(ref.status)
+        assert int(out.niter) == int(ref.niter)
+        assert abs(float(out.objective()) - float(ref.objective())) < 1e-7
+        assert np.array_equal(np.asarray(out.basis), np.asarray(ref.basis))
+
+    def test_equality_heavy_fewer_pivots_than_dantzig(self, mesh):
+        from tpulp.corpus import get_case
+
+        case = get_case("equality_heavy_24")
+        st = state_from_standard_form(case.lp().lower())
+        dz = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, block=8)
+        dv = run_simplex_sharded_blocked(
+            to_sharded_state(st, mesh), mesh, self._devex_opts(), block=8)
+        assert int(dz.status) == int(dv.status) == Status.OPTIMAL
+        assert int(dv.niter) < int(dz.niter)
+
+    def test_solve_lp_mesh_devex(self, mesh):
+        """pricing='devex' through the one-call mesh path."""
+        from tpulp.corpus import get_case
+        from tpulp.solve import solve_lp
+
+        case = get_case("equality_heavy_24")
+        sol = solve_lp(case.lp(), mesh=mesh, pricing="devex")
+        assert sol.status == "optimal"
+        assert sol.objective == case.objective
+
+    def test_mesh_devex_requires_blocked(self, mesh):
+        from tpulp.solve import solve_lp
+
+        with pytest.raises(ValueError, match="blocked"):
+            solve_lp(textbook_lp(), mesh=mesh, pricing="devex",
+                     shard_driver="rank1")

@@ -25,6 +25,14 @@ pivot sequence modulo float roundoff; tests pin equal basis sequences against
 the single-device blocked driver (VERDICT round-1 item 3; BASELINE.json
 config 5). Reference seed for the hot kernel being amortized:
 /root/reference/lpsol/tableau.py:295-308 (rank-1 pivot).
+
+Devex pricing (``opts.rule == RULE_DEVEX``, round 4): the weight vector is
+column-sharded like the tableau; per-shard argmax of c^2/gamma feeds the
+same tiny all_gather the Dantzig rule uses, the owner's gamma_q rides the
+fused per-pivot psum as one extra lane, and the update is a local VPU pass
+over the shard's pivot-row slice plus one scalar pmax for the global frame
+reset. Tests pin exact walk parity vs the single-device RULE_DEVEX blocked
+driver on the 8-device fake cluster.
 """
 
 from __future__ import annotations
@@ -37,10 +45,12 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..core.state import RULE_BLAND, SolverOptions, Status
+from ..core.state import RULE_BLAND, RULE_DEVEX, SolverOptions, Status
 from .sharded import ShardedState
 
 __all__ = ["run_simplex_sharded_blocked"]
+
+DEVEX_RESET = 1e8  # re-anchor the devex reference framework past this weight
 
 
 class _ShardedBlockCarry(NamedTuple):
@@ -52,20 +62,27 @@ class _ShardedBlockCarry(NamedTuple):
     row0: jax.Array      # (n_local,) current phase-2 objective row slice
     row1: jax.Array      # (n_local,) current phase-1 objective row slice
     bvec: jax.Array      # (m+2,) current RHS column, replicated
+    gamma: jax.Array     # (n_local,) sharded devex weights (ones unless devex)
 
 
-def _fetch_col_and_eta(T_local, Vl, j, axis: str):
+def _fetch_col_and_eta(T_local, Vl, j, axis: str, gamma=None):
     """Entering column (stale tableau slice) AND its eta column in ONE psum:
-    owner shard contributes the concatenated (m+2+K)-vector, psum broadcasts."""
+    owner shard contributes the concatenated (m+2+K)-vector, psum broadcasts.
+    Under devex the owner's weight gamma_j rides the same reduction as one
+    extra lane (m+2+K+1) — no additional collective."""
     n_local = T_local.shape[1]
+    K = Vl.shape[0]
     ax = lax.axis_index(axis)
     owner = (j // n_local) == ax
     j_local = j % n_local
-    contrib = jnp.where(
-        owner, jnp.concatenate([T_local[:, j_local], Vl[:, j_local]]), 0.0)
+    parts = [T_local[:, j_local], Vl[:, j_local]]
+    if gamma is not None:
+        parts.append(gamma[j_local][None])
+    contrib = jnp.where(owner, jnp.concatenate(parts), 0.0)
     out = lax.psum(contrib, axis)
     nrows = T_local.shape[0]
-    return out[:nrows], out[nrows:], owner, j_local
+    gamma_j = out[nrows + K] if gamma is not None else None
+    return out[:nrows], out[nrows:nrows + K], owner, j_local, gamma_j
 
 
 def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
@@ -112,22 +129,34 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
         s.art_cols)
 
     # ---- pricing on the maintained objective-row slices ---------------------
+    use_devex = opts.rule == RULE_DEVEX
     crow = jnp.where(s.phase == 1, carry.row1, carry.row0)
     c_eff = jnp.where(s.col_active, crow, inf)
-    l_min = jnp.min(c_eff)
-    l_arg = (jnp.argmin(c_eff) + ax * n_local).astype(jnp.int32)
-    g_vals = lax.all_gather(l_min, axis)
-    g_idxs = lax.all_gather(l_arg, axis)
-    k = jnp.argmin(g_vals)
-    j_dantzig = g_idxs[k]
-    c_min = g_vals[k]
     improving_l = c_eff < -opts.opt_tol
     l_first = jnp.min(jnp.where(improving_l, local_ids, n_global))
     j_bland = lax.pmin(l_first, axis)
-    has_improving = c_min < -opts.opt_tol
+    if use_devex:
+        # devex reference-framework pricing (mirrors solve.blocked
+        # RULE_DEVEX): per-shard argmax of c^2/gamma, then a global argmax
+        # over the gathered per-shard winners — first shard wins ties, which
+        # matches the single-device jnp.argmax first-index rule
+        score = jnp.where(improving_l, (crow * crow) / carry.gamma, -inf)
+        g_vals = lax.all_gather(jnp.max(score), axis)
+        g_idxs = lax.all_gather(
+            (jnp.argmax(score) + ax * n_local).astype(jnp.int32), axis)
+        j_best = g_idxs[jnp.argmax(g_vals)]
+        has_improving = j_bland < n_global
+    else:
+        l_min = jnp.min(c_eff)
+        l_arg = (jnp.argmin(c_eff) + ax * n_local).astype(jnp.int32)
+        g_vals = lax.all_gather(l_min, axis)
+        g_idxs = lax.all_gather(l_arg, axis)
+        k = jnp.argmin(g_vals)
+        j_best = g_idxs[k]
+        has_improving = g_vals[k] < -opts.opt_tol
     use_bland = s.bland | (opts.rule == RULE_BLAND)
     j_price = jnp.where(
-        use_bland, jnp.minimum(j_bland, n_global - 1), j_dantzig)
+        use_bland, jnp.minimum(j_bland, n_global - 1), j_best)
 
     # ---- phase bookkeeping scalars ------------------------------------------
     z1 = -carry.bvec[1]
@@ -138,7 +167,8 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
 
     # ---- entering column reconstruction + replicated ratio test -------------
     j = jnp.where(cleanup, j_d, j_price)
-    tcol, vj, owner, j_local = _fetch_col_and_eta(s.T, carry.Vl, j, axis)
+    tcol, vj, owner, j_local, gamma_j = _fetch_col_and_eta(
+        s.T, carry.Vl, j, axis, gamma=carry.gamma if use_devex else None)
     colj = tcol + jnp.einsum('k,km->m', vj, carry.U,
                              precision=lax.Precision.HIGHEST)
     col = colj[2:]
@@ -184,6 +214,26 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     bvec = carry.bvec + w * vrow_rhs
 
     basis = jnp.where(act, s.basis.at[r].set(j), s.basis)
+
+    # ---- devex weight update (post-pivot row r = vrow / piv, local slice) ----
+    if use_devex:
+        alpha = vrow / safe_piv           # local columns only (RHS is vr)
+        cand = (alpha * alpha) * gamma_j
+        upd = do_pricing & act
+        gamma = jnp.where(upd, jnp.maximum(carry.gamma, cand), carry.gamma)
+        leaving = s.basis[r]              # pre-update basis, replicated
+        owner_lv = (leaving // n_local) == ax
+        leave_val = jnp.maximum(gamma_j / (safe_piv * safe_piv), 1.0)
+        gamma = jnp.where(
+            upd & owner_lv,
+            gamma.at[leaving % n_local].set(leave_val), gamma)
+        # re-anchor the frame on global overflow or phase transition (pmax
+        # keeps every shard's reset decision consistent)
+        gmax = lax.pmax(jnp.max(gamma), axis)
+        reset = (gmax > DEVEX_RESET) | to_phase2
+        gamma = jnp.where(reset, jnp.ones_like(gamma), gamma)
+    else:
+        gamma = carry.gamma
 
     # ---- stall / Bland switch (current-objective stall detection) ------------
     z = jnp.where(s.phase == 1, -bvec[1], -bvec[0])
@@ -234,7 +284,7 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     )
     return _ShardedBlockCarry(
         s=s, U=U, Vl=Vl, vr=vr, t=carry.t + act.astype(jnp.int32),
-        row0=row0, row1=row1, bvec=bvec)
+        row0=row0, row1=row1, bvec=bvec, gamma=gamma)
 
 
 @functools.lru_cache(maxsize=16)
@@ -261,7 +311,7 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
         n_local = sh.T.shape[1]
         dtype = sh.T.dtype
 
-        def fresh_carry(s: ShardedState) -> _ShardedBlockCarry:
+        def fresh_carry(s: ShardedState, gamma=None) -> _ShardedBlockCarry:
             return _ShardedBlockCarry(
                 s=s,
                 U=jnp.zeros((K, M), dtype=dtype),
@@ -271,6 +321,7 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
                 row0=s.T[0, :],
                 row1=s.T[1, :],
                 bvec=s.rhs,
+                gamma=jnp.ones((n_local,), dtype) if gamma is None else gamma,
             )
 
         def outer_cond(carry):
@@ -291,7 +342,8 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
                 precision=lax.Precision.HIGHEST)
             rhs = carry.s.rhs + jnp.einsum('km,k->m', carry.U, carry.vr,
                                            precision=lax.Precision.HIGHEST)
-            return fresh_carry(carry.s._replace(T=T, rhs=rhs))
+            # devex weights persist across the flush boundary
+            return fresh_carry(carry.s._replace(T=T, rhs=rhs), carry.gamma)
 
         out = lax.while_loop(outer_cond, outer_body, fresh_carry(sh)).s
         return out._replace(status=jnp.where(

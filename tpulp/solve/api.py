@@ -146,7 +146,11 @@ def solve_standard_form(
 
     ``pricing='devex'`` uses the devex-weighted driver
     (``tpulp.solve.devex``) — typically far fewer pivots on hard
-    (equality-heavy) instances than the default Dantzig rule.
+    (equality-heavy) instances than the Dantzig rule. ``pricing='default'``
+    AUTO-selects devex when the shape is equality-heavy (m >= 64 and at
+    least half the rows need phase-1 artificials — the regime where devex
+    measured ~15x fewer pivots at exact corpus parity) and Dantzig
+    otherwise; ``pricing='dantzig'`` pins Dantzig unconditionally.
 
     ``driver`` selects the single-device engine: 'rank1' (full-tableau
     update per pivot — fastest for small tableaus), 'blocked' (rank-K eta
@@ -179,6 +183,20 @@ def solve_standard_form(
     state = state_from_standard_form(sf, dtype=dtype)
     bounded = sf.upper is not None and any(
         u is not None for u in sf.upper)
+    if pricing == "default" and not bounded and (
+            mesh is None or shard_driver == "blocked"):
+        # auto-select devex for equality-heavy shapes, the same way engines
+        # are auto-selected: phase-1 depth scales with rows lacking a basic
+        # column, where devex measured ~15x fewer pivots at exact corpus
+        # parity (BENCH.md, r3). Small or slack-rich instances keep Dantzig
+        # — the weight pass buys nothing there and devex's unbounded-ray
+        # detection is slower (tpulp.solve.devex module doc). Callers pin a
+        # rule explicitly with pricing='dantzig'/'devex'.
+        art_rows = sum(1 for h in sf.basis_hint if h < 0)
+        if state.m >= 64 and 2 * art_rows >= state.m:
+            pricing = "devex"
+    if pricing == "dantzig":
+        pricing = "default"
     at_upper_np = None
     bout = None
     if bounded:
@@ -199,9 +217,16 @@ def solve_standard_form(
 
         sh = to_sharded_state(state, mesh, axis=shard_axis)
         if shard_driver == "blocked":
+            from ..core.state import RULE_DEVEX
+
+            opts_sh = dataclasses.replace(options, rule=RULE_DEVEX) \
+                if pricing == "devex" else options
             osh = run_simplex_sharded_blocked(
-                sh, mesh, options, block=shard_block, axis=shard_axis)
+                sh, mesh, opts_sh, block=shard_block, axis=shard_axis)
         elif shard_driver == "rank1":
+            if pricing == "devex":
+                raise ValueError("devex pricing on a mesh requires "
+                                 "shard_driver='blocked'")
             osh = run_simplex_sharded(sh, mesh, options, axis=shard_axis)
         else:
             raise ValueError(f"unknown shard_driver {shard_driver!r}")
