@@ -50,8 +50,28 @@ def test_verify_terminal_basis_rejects_a_corrupted_basis():
                                     bounded=True)
 
 
-def test_compiled_pin_oracle_on_jnp_driver():
-    """The pin's EXACT constant and pass criteria, exercised via the jnp
-    blocked driver (the same check the TPU pin applies to the compiled
-    kernel)."""
-    bench.compiled_parity_pin("blocked", block=8)
+def test_compiled_pin_suite_on_jnp_driver():
+    """All five pins (Dantzig/Bland/devex/deep-phase-1/degenerate) with
+    their strong-duality certificates, exercised via the jnp blocked driver
+    (the same suite every TPU bench run applies to the compiled kernel)."""
+    results = bench.compiled_pin_suite("blocked")
+    assert len(results) == 5
+    assert all(r["ok"] for r in results)
+    names = {r["pin"] for r in results}
+    assert names == {"random64_dantzig", "random24_bland", "random64_devex",
+                     "eqheavy_phase1", "degenerate_ties"}
+    # the certificate proves optimality: primal + dual feasible everywhere
+    for r in results:
+        assert r["min_xb"] >= -1e-7
+        assert r["min_reduced_cost"] >= -1e-6
+
+
+def test_pin_certificate_rejects_non_optimal_basis():
+    """_basis_certificate must fail a basis that is not optimal (the f32
+    false-verdict class): the slack basis of the pin instance violates
+    primal feasibility and/or dual feasibility, and the certificate says
+    so — exactly what a wrongly-converged compiled walk would trip on."""
+    st, Af, b, cf = bench._pin_instances()[0][1](jnp.float64)
+    slack_basis = list(range(Af.shape[1] - st.m, Af.shape[1]))
+    z, min_xb, min_rc = bench._basis_certificate(slack_basis, Af, b, cf)
+    assert not (min_xb >= -1e-7 and min_rc >= -1e-6), (min_xb, min_rc)

@@ -44,6 +44,7 @@ __all__ = [
     "RULE_BLAND",
     "RULE_MAX_INCREASE",
     "RULE_DEVEX",
+    "eta_scaled_options",
 ]
 
 RULE_DANTZIG = 0
@@ -160,6 +161,31 @@ class SimplexState(NamedTuple):
     def objective(self) -> jax.Array:
         """Current phase-2 objective value (minimization)."""
         return -self.T[0, -1]
+
+
+ETA_F32_PIV_TOL = 1e-4
+
+
+def eta_scaled_options(opts, dtype):
+    """Ratio-test tolerance for rank-K (eta-reconstruction) engines.
+
+    Blocked-family drivers reconstruct the entering column as
+    ``T0[:, j] + V[:, j]^T U``; after up to K etas the reconstruction noise
+    is ~1e-4 relative at f32 — an entry that reads +2e-5 can truly be
+    negative. Pivoting on such noise destroys feasibility while the engine
+    still reports OPTIMAL (measured: a 24x24 f32 RULE_BLAND walk lost
+    primal feasibility at piv_tol=1e-5 and landed a provably non-optimal
+    basis; >=5e-5 restores the correct walk — round-4 compiled-pin
+    finding). Rank-1 engines update the full tableau and keep the sharper
+    dtype default. No-op for f64 or when the caller already asked for a
+    looser tolerance."""
+    import dataclasses
+
+    if canonical_dtype(dtype) != jnp.dtype("float32"):
+        return opts
+    if opts.piv_tol >= ETA_F32_PIV_TOL:
+        return opts
+    return dataclasses.replace(opts, piv_tol=ETA_F32_PIV_TOL)
 
 
 def canonical_dtype(dtype):

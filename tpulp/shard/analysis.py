@@ -1,0 +1,130 @@
+"""Communication analysis of the sharded drivers from compiled HLO.
+
+VERDICT r3 item 5: the "one fused psum per pivot" claim
+(``sharded_blocked.py``) was asserted in a docstring but never verified in
+an artifact. This module compiles the actual shard_map executables and
+counts the collective instructions in the HLO — the ground truth XLA will
+run — so the claim is checked mechanically (by the dryrun, tests, and
+SCALING.md) instead of trusted.
+
+Method: lower the driver for a given mesh/shape and walk the STABLEHLO
+module text (``lowered.as_text()`` — backend-independent; the CPU backend's
+compiled HLO hides collectives behind runtime custom-calls, verified
+empirically), classifying every collective op (``all_reduce``,
+``all_gather``, ``reduce_scatter``, ``collective_permute``) with its tensor
+type. The per-pivot ops live inside the rolled while/fori bodies, so static
+instruction counts bound the per-pivot collective set; the structural
+assertions below fail loudly if that ever changes.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+__all__ = ["collective_profile", "assert_fused_psum"]
+
+# all_reduce spans lines (its body is a reduction region); the result type
+# follows the closing brace. all_gather/collective_permute are single-line.
+AR_RE = re.compile(
+    r'"stablehlo\.all_reduce"\(.*?\}\) : \(tensor<(?P<ty>[^>]+)>\)',
+    re.S)
+LINE_RE = re.compile(
+    r'"stablehlo\.(?P<op>all_gather|collective_permute|reduce_scatter)"'
+    r'[^\n]* : \(tensor<[^>]+>\) -> tensor<(?P<ty>[^>]+)>')
+
+_DTYPE_BYTES = {"f32": 4, "f64": 8, "i32": 4, "ui32": 4, "i1": 1,
+                "bf16": 2, "i64": 8, "f16": 2}
+
+
+def _type_bytes(ty: str) -> int:
+    parts = ty.split("x")
+    dt = parts[-1]
+    n = 1
+    for d in parts[:-1]:
+        n *= int(d)
+    return n * _DTYPE_BYTES.get(dt, 4)
+
+
+def collective_profile(mesh, m=6, n=10, block=8, driver="blocked",
+                       dtype=None, rule=None):
+    """Compile the sharded driver for (m, n) on ``mesh`` and return
+    ``(ops, total_bytes)`` where ops is a list of (op_kind, shape, bytes)
+    for every collective instruction in the compiled module."""
+    import jax.numpy as jnp
+
+    from ..core.state import SolverOptions, make_state
+    from ..solve.driver import _budget_key
+    from .sharded import to_sharded_state
+
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(m, n))
+    b = np.abs(A @ np.abs(rng.normal(size=n))) + 0.5
+    c = rng.normal(size=n)
+    Afull = np.concatenate([A, np.eye(m)], axis=1)
+    cfull = np.concatenate([c, np.zeros(m)])
+    st = make_state(cfull, Afull, b, list(range(n, n + m)), dtype=dtype)
+    opts = SolverOptions.for_dtype(dtype)
+    if rule is not None:
+        import dataclasses
+
+        opts = dataclasses.replace(opts, rule=rule)
+    sh = to_sharded_state(st, mesh)
+    n_global = sh.T.shape[1]
+    stall = opts.resolved_stall_limit(m, n_global)
+    if driver == "blocked":
+        from .sharded_blocked import _sharded_blocked_driver
+
+        fn = _sharded_blocked_driver(_budget_key(opts), stall, n_global,
+                                     block, "cols", mesh)
+    else:
+        from .sharded import _sharded_driver
+
+        fn = _sharded_driver(_budget_key(opts), stall, n_global, "cols",
+                             mesh)
+    import jax.numpy as jnp  # noqa: F811
+
+    hlo = fn.lower(sh, jnp.asarray(opts.max_iters, jnp.int32)).as_text()
+    ops: List[Tuple[str, str, int]] = []
+    for match in AR_RE.finditer(hlo):
+        ty = match.group("ty")
+        ops.append(("all_reduce", ty, _type_bytes(ty)))
+    for match in LINE_RE.finditer(hlo):
+        ty = match.group("ty")
+        ops.append((match.group("op"), ty, _type_bytes(ty)))
+    return ops, sum(b for _, _, b in ops)
+
+
+def assert_fused_psum(mesh, m=6, n=10, block=8) -> Dict[str, object]:
+    """Verify the sharded-blocked communication structure in compiled HLO:
+
+    * the entering-column fetch is ONE fused all-reduce carrying the
+      (m+2) tableau slice AND the K eta lanes together — i.e. an f32
+      all-reduce of m+2+K elements exists, and NO separate (m+2)-element
+      f32 all-reduce does (which would mean the fusion regressed);
+    * every other collective is scalar-sized (pricing/cleanup/guard
+      reductions), so per-pivot traffic is m+2+K+O(1) elements total.
+
+    Returns a summary dict for dryrun/bench artifacts; raises AssertionError
+    with the op table when the structure regressed."""
+    ops, total = collective_profile(mesh, m=m, n=n, block=block,
+                                    driver="blocked")
+    fused_elems = (m + 2) + block
+    fused = [o for o in ops if o[0] == "all_reduce"
+             and o[1] == f"{fused_elems}xf32"]
+    unfused = [o for o in ops if o[0] == "all_reduce"
+               and o[1] == f"{m + 2}xf32"]
+    big = [o for o in ops
+           if o[2] > 4 * fused_elems and o not in fused]
+    assert fused, f"fused (m+2+K) psum missing; collectives: {ops}"
+    assert not unfused, f"UNFUSED (m+2) column psum present: {ops}"
+    assert not big, f"unexpectedly large collectives: {big}"
+    kinds: Dict[str, int] = {}
+    for op, _, _ in ops:
+        kinds[op] = kinds.get(op, 0) + 1
+    return {"collectives": kinds, "fused_psum_elems": fused_elems,
+            "n_fused": len(fused), "total_collective_bytes": total,
+            "ops": [(o, s) for o, s, _ in ops]}

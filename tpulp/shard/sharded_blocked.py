@@ -363,8 +363,11 @@ def run_simplex_sharded_blocked(
     axis: str = "cols",
 ) -> ShardedState:
     """Run the sharded rank-K eta-block driver to termination."""
+    from ..core.state import eta_scaled_options
+
     if opts is None:
         opts = SolverOptions.for_dtype(sh.T.dtype)
+    opts = eta_scaled_options(opts, sh.T.dtype)
     m = sh.basis.shape[0]
     n_global = sh.T.shape[1]
     stall_limit = opts.resolved_stall_limit(m, n_global)

@@ -287,8 +287,11 @@ def run_simplex_blocked(
     block: int = 64,
 ) -> SimplexState:
     """Run the rank-K blocked driver to termination (single problem)."""
+    from ..core.state import eta_scaled_options
+
     if opts is None:
         opts = SolverOptions.for_dtype(state.T.dtype)
+    opts = eta_scaled_options(opts, state.T.dtype)
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
     from .driver import _budget_key
 
@@ -313,8 +316,11 @@ def run_simplex_blocked_batch(
     VERDICT r2 weak #3 named the 64-cap; each lane's traffic drops by ~K).
     The state machine freezes terminated lanes exactly like the rank-1
     batched driver, so divergent pivot counts coexist in one while_loop."""
+    from ..core.state import eta_scaled_options
+
     if opts is None:
         opts = SolverOptions.for_dtype(batched.T.dtype)
+    opts = eta_scaled_options(opts, batched.T.dtype)
     m = batched.T.shape[1] - 2
     n = batched.T.shape[2] - 1
     stall_limit = opts.resolved_stall_limit(m, n)

@@ -175,8 +175,11 @@ def run_simplex_blocked_pallas(
     interpret: bool | None = None,
 ) -> SimplexState:
     """Run the Pallas-inner-loop blocked driver to termination."""
+    from ..core.state import eta_scaled_options
+
     if opts is None:
         opts = SolverOptions.for_dtype(state.T.dtype)
+    opts = eta_scaled_options(opts, state.T.dtype)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
