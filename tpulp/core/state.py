@@ -128,6 +128,11 @@ class SolverOptions:
         if name == "float32":
             base = dict(opt_tol=1e-5, piv_tol=1e-5, infeas_tol=1e-4,
                         feas_tol=1e-5)
+        elif name == "bfloat16":
+            # bf16 STORAGE experiment (compute stays f32): eps ~ 7.8e-3, so
+            # decision tolerances sit well above the quantization floor
+            base = dict(opt_tol=1e-3, piv_tol=1e-2, infeas_tol=1e-1,
+                        feas_tol=1e-2)
         else:
             base = dict(opt_tol=1e-9, piv_tol=1e-9, infeas_tol=1e-7,
                         feas_tol=1e-9)

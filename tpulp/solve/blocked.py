@@ -61,7 +61,12 @@ class _BlockCarry(NamedTuple):
 def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
                    stall_limit: int, max_iters) -> _BlockCarry:
     s = carry.s
-    dtype = s.T.dtype
+    # bf16-STORAGE experiment (VERDICT r3 item 4): when the tableau is
+    # stored bf16, all per-pivot arithmetic (etas, maintained vectors,
+    # decisions) runs in f32 — only the big T array pays bf16 traffic.
+    # For f32/f64 storage every astype below is the identity and XLA
+    # elides it, so the production paths are unchanged.
+    dtype = jnp.float32 if s.T.dtype == jnp.bfloat16 else s.T.dtype
     n = s.n
     inf = jnp.asarray(jnp.inf, dtype)
     running = s.status == Status.RUNNING
@@ -75,7 +80,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     # (n+1)-vector is cheap; computing it every pivot would double V reads)
     row_d = lax.cond(
         cleanup,
-        lambda: carry.s.T[2 + r_d, :] + jnp.einsum(
+        lambda: carry.s.T[2 + r_d, :].astype(dtype) + jnp.einsum(
             'k,kn->n', carry.U[:, 2 + r_d], carry.V,
             precision=lax.Precision.HIGHEST),
         lambda: jnp.zeros((n + 1,), dtype),
@@ -115,8 +120,8 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
 
     # ---- entering column + ratio test -------------------------------------
     j = jnp.where(cleanup, j_d, j_price)
-    colj = s.T[:, j] + jnp.einsum('k,km->m', carry.V[:, j], carry.U,
-                                  precision=lax.Precision.HIGHEST)
+    colj = s.T[:, j].astype(dtype) + jnp.einsum(
+        'k,km->m', carry.V[:, j], carry.U, precision=lax.Precision.HIGHEST)
     col = colj[2:]
     b = carry.bvec[2:]
     pos = col > opts.piv_tol
@@ -147,8 +152,9 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     vrow = lax.cond(
         do_cleanup,
         lambda: row_d,
-        lambda: s.T[rg, :] + jnp.einsum('k,kn->n', carry.U[:, rg], carry.V,
-                                        precision=lax.Precision.HIGHEST),
+        lambda: s.T[rg, :].astype(dtype) + jnp.einsum(
+            'k,kn->n', carry.U[:, rg], carry.V,
+            precision=lax.Precision.HIGHEST),
     ) * actf
     zero = jnp.zeros((), jnp.int32)
     U = lax.dynamic_update_slice(carry.U, w[None, :], (carry.t, zero))
@@ -180,7 +186,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
 
     # ---- stall / Bland switch (fix of SURVEY §2.7-2: current objective) ---
     z = jnp.where(s.phase == 1, -row1[-1], -row0[-1])
-    improved = (s.last_z - z) > opts.degen_tol
+    improved = (s.last_z.astype(dtype) - z) > opts.degen_tol
     stuck = jnp.where(
         do_pricing & act,
         jnp.where(improved, 0, s.stuck + 1),
@@ -225,7 +231,7 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
         niter=s.niter + act.astype(jnp.int32),
         stuck=stuck,
         bland=bland,
-        last_z=last_z,
+        last_z=last_z.astype(s.last_z.dtype),
     )
     return _BlockCarry(
         s=s, U=U, V=V, t=carry.t + act.astype(jnp.int32),
@@ -238,7 +244,8 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
     def driver(state: SimplexState, max_iters: jax.Array) -> SimplexState:
         M = state.T.shape[0]
         N = state.T.shape[1]
-        dtype = state.T.dtype
+        sdtype = state.T.dtype              # storage dtype (T only)
+        dtype = jnp.float32 if sdtype == jnp.bfloat16 else sdtype
 
         def fresh_carry(s: SimplexState, gamma=None) -> _BlockCarry:
             return _BlockCarry(
@@ -246,9 +253,9 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
                 U=jnp.zeros((K, M), dtype=dtype),
                 V=jnp.zeros((K, N), dtype=dtype),
                 t=jnp.asarray(0, jnp.int32),
-                row0=s.T[0, :],
-                row1=s.T[1, :],
-                bvec=s.T[:, -1],
+                row0=s.T[0, :].astype(dtype),
+                row1=s.T[1, :].astype(dtype),
+                bvec=s.T[:, -1].astype(dtype),
                 gamma=jnp.ones((N - 1,), dtype) if gamma is None else gamma,
             )
 
@@ -267,9 +274,9 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
             # HIGHEST: the TPU default matmul precision truncates f32 MXU
             # inputs to bf16, which corrupts long eta-flush chains (verified
             # on-chip: a 326-pivot walk claimed a below-optimal objective)
-            T = carry.s.T + jnp.einsum(
+            T = (carry.s.T.astype(dtype) + jnp.einsum(
                 'km,kn->mn', carry.U, carry.V, preferred_element_type=dtype,
-                precision=lax.Precision.HIGHEST)
+                precision=lax.Precision.HIGHEST)).astype(sdtype)
             # devex weights persist across the flush boundary
             return fresh_carry(carry.s._replace(T=T), carry.gamma)
 

@@ -180,6 +180,15 @@ def run_simplex_blocked_pallas(
     if opts is None:
         opts = SolverOptions.for_dtype(state.T.dtype)
     opts = eta_scaled_options(opts, state.T.dtype)
+    if state.T.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        # measured round 4: Mosaic has no f64 lowering — the kernel dies in
+        # infinite _convert_element_type recursion at trace time. Fail with
+        # an actionable message instead; the f64 engine is the jnp blocked
+        # driver (954 pivots/s at the bench shape, BENCH.md row 6).
+        raise ValueError(
+            "the Pallas kernel cannot run float64 on TPU (Mosaic has no "
+            "f64 support); use driver='blocked' for f64, or f32 iterates "
+            "with exact refinement (the production policy)")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     stall_limit = opts.resolved_stall_limit(state.m, state.n)
