@@ -221,3 +221,104 @@ def test_large_m_float_bounded_certificate():
     assert sol.status == ref.status == "optimal"
     assert float(sol.objective) == pytest.approx(float(ref.objective),
                                                  rel=1e-9)
+
+
+class TestBatchedBounded:
+    """Vmapped bounded-variable driver (VERDICT r3 item 6): batched box LPs
+    with bound-free tableaus must agree exactly with the solo bounded
+    driver and the row-based batch path."""
+
+    def _random_box(self, seed, nv=6, mc=4):
+        rng = np.random.default_rng(seed)
+        lp = LinProg()
+        obj = LinExpr()
+        for jv in range(nv):
+            lp.addVar(f"v{jv}", lb=0, ub=int(rng.integers(1, 9)))
+            obj += LinExpr(int(rng.integers(-9, 10)), f"v{jv}")
+        lp.maximize(obj)
+        for i in range(mc):
+            e = LinExpr()
+            for jv in range(nv):
+                e += LinExpr(int(rng.integers(-3, 6)), f"v{jv}")
+            lp.addConstraint(e.constraintLeq(int(rng.integers(5, 30))))
+        return lp
+
+    def test_batch_matches_solo_and_rows(self):
+        from tpulp.batch import solve_lp_batch
+
+        lps = [self._random_box(s) for s in range(8)] + [_box_lp()]
+        batch = solve_lp_batch(lps, simple_bounds=True)
+        rows = solve_lp_batch(lps)                      # row-based oracle
+        for k, (bsol, rsol) in enumerate(zip(batch, rows)):
+            assert bsol.status == rsol.status, k
+            if rsol.status == "optimal":
+                assert bsol.objective == rsol.objective, k
+        # solo bounded driver agreement on one lane
+        solo = solve_lp(lps[0].lower(simple_bounds=True))
+        assert batch[0].objective == solo.objective
+
+    def test_batch_tableaus_are_bound_free(self):
+        from tpulp.batch import make_batched_bounded_states
+        from tpulp.model.lower import lower_to_standard_form
+
+        lps = [self._random_box(s) for s in range(4)]
+        sfs = [lower_to_standard_form(lp, simple_bounds=True) for lp in lps]
+        bs = make_batched_bounded_states(sfs)
+        # per-lane rows = the mc constraint rows only, no bound rows
+        assert bs.s.T.shape[1] - 2 == max(sf.m for sf in sfs) == 4
+        # spans rode in: each lane has 6 finite structural spans
+        import numpy as np
+
+        finite = np.isfinite(np.asarray(bs.upper))
+        assert (finite[:, :6].sum(axis=1) == 6).all()
+        assert not finite[:, 6:].any()
+
+    def test_batch_statuses(self):
+        from tpulp.batch import solve_lp_batch
+
+        inf_lp = LinProg()
+        inf_lp.addVar("x", lb=0, ub=5)
+        inf_lp.minimize(LinExpr(1, "x"))
+        inf_lp.addConstraint(LinExpr(1, "x").constraintGeq(9))
+        unb_lp = LinProg()
+        unb_lp.addVar("x", lb=0, ub=5)
+        unb_lp.addVar("free", lb=0)
+        unb_lp.maximize(LinExpr(1, "x", 1, "free"))
+        unb_lp.addConstraint(LinExpr(1, "x").constraintLeq(4))
+        out = solve_lp_batch([inf_lp, unb_lp, _box_lp()],
+                             simple_bounds=True)
+        assert out[0].status == "infeasible"
+        assert out[1].status == "unbounded"
+        assert out[2].status == "optimal" and out[2].objective == 14
+
+    def test_knapsack_relaxation_wave(self):
+        """A wave of 28-var knapsack LP relaxations: bound-free lanes are
+        1-row tableaus instead of 29-row ones, and the answers agree with
+        the row-based wave exactly."""
+        import numpy as np
+
+        from tpulp.batch import solve_lp_batch
+        from tpulp.model.lower import lower_to_standard_form
+
+        def knap_lp(seed):
+            rng = np.random.default_rng(seed)
+            lp = LinProg()
+            obj = LinExpr()
+            w = LinExpr()
+            for i in range(28):
+                lp.addVar(f"x{i}", lb=0, ub=1)
+                obj += LinExpr(int(rng.integers(10, 60)), f"x{i}")
+                w += LinExpr(int(rng.integers(5, 25)), f"x{i}")
+            lp.maximize(obj)
+            lp.addConstraint(w.constraintLeq(120))
+            return lp
+
+        lps = [knap_lp(s) for s in range(8)]
+        assert lower_to_standard_form(
+            lps[0], simple_bounds=True).m == 1
+        assert lower_to_standard_form(lps[0]).m == 29
+        b = solve_lp_batch(lps, simple_bounds=True)
+        r = solve_lp_batch(lps)
+        for k in range(8):
+            assert b[k].status == r[k].status == "optimal"
+            assert b[k].objective == r[k].objective, k

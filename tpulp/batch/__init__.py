@@ -1,6 +1,8 @@
 """Batched solving: thousands of independent LPs per chip via vmap."""
 
 from .vmap_driver import (
+    extract_batch_bounded_solutions,
+    make_batched_bounded_states,
     make_batched_states,
     run_simplex_batch,
     solve_lp_batch,
@@ -9,6 +11,8 @@ from .vmap_driver import (
 )
 
 __all__ = [
+    "extract_batch_bounded_solutions",
+    "make_batched_bounded_states",
     "make_batched_states",
     "run_simplex_batch",
     "solve_lp_batch",

