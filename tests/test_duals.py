@@ -155,3 +155,133 @@ class TestOriginalSensitivity:
         for ci, con in enumerate(lp.constraints):
             tot += sol.duals[ci] * con.simplify().right.getConstant()
         assert tot == sol.objective
+
+
+def _kkt_verify(prog, sol):
+    """Full KKT + strong-duality verification of original-space sensitivity
+    output (exact rationals). ``sol.duals`` follows the
+    original_sensitivity convention: {row index: d(objective)/d(rhs)} of
+    the canonical 'vars comp const' form, ORIGINAL sense."""
+    from tpulp.model.prog import MAX
+
+    sense = F(-1) if prog.objective.sense == MAX else F(1)
+    x = {k: F(v) for k, v in sol.x.items()}
+    obj_expr = prog.objective.expr
+    # stationarity residual in the min frame must equal sense * reduced_cost
+    for name in prog.allVarNames():
+        d_min = sense * obj_expr.getCoefficient(name)
+        for i, con in enumerate(prog.constraints):
+            s = con.simplify()
+            a = s.left.getCoefficient(name)
+            if a:
+                d_min -= sense * F(sol.duals[i]) * a
+        assert d_min == sense * F(sol.reduced_costs[name]), name
+        # interior variables have zero reduced cost; at-bound signs
+        v = prog.vars.get(name)
+        lb = v.lb if v is not None else F(0)
+        ub = v.ub if v is not None else None
+        x_j = x.get(name, F(0))
+        at_lb = lb is not None and x_j == lb
+        at_ub = ub is not None and x_j == ub
+        if not at_lb and not at_ub:
+            assert d_min == 0, (name, d_min)
+        elif d_min != 0:
+            assert (at_lb and d_min > 0) or (at_ub and d_min < 0), (
+                name, d_min, at_lb, at_ub)
+    # per-row: sign feasibility + complementary slackness (min frame:
+    # '<=' rows have y_min <= 0, '>=' rows >= 0; slack rows y = 0)
+    for i, con in enumerate(prog.constraints):
+        s = con.simplify()
+        y_min = sense * F(sol.duals[i])
+        lhs = s.left.evaluate(x)
+        rhs = s.right.getConstant()
+        if s.comp == "<=":
+            assert y_min <= 0, i
+            if lhs != rhs:
+                assert y_min == 0, i
+        elif s.comp == ">=":
+            assert y_min >= 0, i
+            if lhs != rhs:
+                assert y_min == 0, i
+    # strong duality: obj = sum y_min rhs_i + sum d_min_j x_j + const
+    z_min = sense * F(sol.objective)
+    total = sense * obj_expr.getConstant()
+    for i, con in enumerate(prog.constraints):
+        s = con.simplify()
+        total += sense * F(sol.duals[i]) * s.right.getConstant()
+    for name in prog.allVarNames():
+        total += sense * F(sol.reduced_costs[name]) * x.get(name, F(0))
+    assert total == z_min, (total, z_min)
+
+
+class TestDualsThroughPresolve:
+    """VERDICT r3 item 7: presolve=True + duals=True compose — reduced-row
+    duals are mapped back to ORIGINAL rows and verified by exact KKT."""
+
+    def _reducible(self):
+        """max 3x + 2y + 5f: fixed f (singleton == row), a redundant
+        duplicate row, and a singleton <= row that binds x."""
+        lp = LinProg()
+        lp.addVar("x", lb=0)
+        lp.addVar("y", lb=0)
+        lp.addVar("f", lb=0, ub=10)
+        lp.maximize(LinExpr(3, "x", 2, "y", 5, "f"))
+        lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(8))    # 0
+        lp.addConstraint(LinExpr(2, "x", 2, "y").constraintLeq(30))   # 1 dup/slack
+        lp.addConstraint(LinExpr(1, "f").constraintEq(2))             # 2 fixes f
+        lp.addConstraint(LinExpr(1, "x").constraintLeq(3))            # 3 binds x
+        return lp
+
+    def test_reducible_program_kkt(self):
+        lp = self._reducible()
+        plain = lp.solve(duals=True)
+        pre = lp.solve(presolve=True, duals=True)
+        assert pre.status == plain.status == "optimal"
+        assert pre.objective == plain.objective == 3 * 3 + 2 * 5 + 5 * 2
+        assert pre.duals is not None and pre.reduced_costs is not None
+        _kkt_verify(lp, pre)
+        # the fixed variable's constraint carries its shadow price: raising
+        # the f == 2 rhs by 1 adds 5 to the max objective
+        assert pre.duals[2] == 5
+        # the binding singleton row on x absorbs x's residual: c_x - y_0
+        assert pre.duals[3] == 3 - pre.duals[0]
+
+    def test_presolve_duals_match_no_presolve_on_fixture(self):
+        import os
+
+        from tpulp.io.mps import read_mps
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "mps", "redund.mps")
+        lp = read_mps(path)
+        pre = lp.solve(presolve=True, duals=True)
+        assert pre.status == "optimal" and pre.objective == -169
+        _kkt_verify(lp, pre)
+
+    def test_corpus_presolve_duals_kkt(self):
+        from tpulp.corpus import CASES
+
+        checked = 0
+        for c in CASES:
+            if c.status != "optimal" or c.size_hint > 24:
+                continue
+            lp = c.lp()
+            pre = lp.solve(presolve=True, duals=True)
+            assert pre.status == "optimal", c.name
+            assert pre.objective == c.objective, c.name
+            if pre.duals is None:
+                continue  # pure-LP fallthrough without sensitivity
+            _kkt_verify(lp, pre)
+            checked += 1
+        assert checked >= 5
+
+    def test_fully_presolved_program_still_reports_duals(self):
+        lp = LinProg()
+        lp.addVar("a", lb=0, ub=4)
+        lp.maximize(LinExpr(2, "a"))
+        lp.addConstraint(LinExpr(1, "a").constraintEq(3))
+        sol = lp.solve(presolve=True, duals=True)
+        assert sol.status == "optimal" and sol.objective == 6
+        assert sol.duals[0] == 2  # d(obj)/d(rhs) of a == 3
+        _kkt_verify(lp, sol)

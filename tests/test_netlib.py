@@ -91,3 +91,16 @@ def test_afiro_in_bench_corpus():
     case = get_case("netlib_afiro")
     assert case.objective == AFIRO_OPT
     assert "netlib" in case.oracle
+
+
+def test_afiro_duals_through_presolve_kkt():
+    """Sensitivity composes with presolve on the real netlib instance:
+    mapped duals satisfy exact KKT + strong duality on the ORIGINAL rows."""
+    from tests.test_duals import _kkt_verify
+
+    lp = _afiro()
+    sol = lp.solve(presolve=True, duals=True)
+    assert sol.status == "optimal"
+    assert sol.objective == AFIRO_OPT
+    assert sol.duals is not None
+    _kkt_verify(lp, sol)

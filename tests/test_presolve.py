@@ -170,16 +170,16 @@ def test_empty_column_over_infeasible_core_stays_infeasible():
     assert lp.solve(presolve=True).status == "infeasible"
 
 
-def test_presolve_duals_rejected_and_reduced_artifacts_cleared():
-    import pytest
-
+def test_presolve_duals_compose_and_reduced_artifacts_cleared():
     lp = _textbook()
     lp.addVar("z", lb=3, ub=3)           # fixed var -> presolve changes space
     lp.objective.expr += LinExpr(1, "z")
-    with pytest.raises(ValueError):
-        solve_with_presolve(lp, duals=True)
-    sol = solve_with_presolve(lp)
+    # round 4 (VERDICT r3 item 7): duals=True composes with presolve — the
+    # mapped duals live in the ORIGINAL row space (full KKT coverage in
+    # tests/test_duals.py::TestDualsThroughPresolve)
+    sol = solve_with_presolve(lp, duals=True)
     assert sol.status == "optimal" and sol.objective == 403
+    assert sol.duals is not None and 0 in sol.duals
     # reduced-space artifacts must not leak into the mapped-back solution
     assert sol.y is None and sol.basis is None and sol.col_values is None
 

@@ -48,7 +48,8 @@ from .expr import LinExpr
 from .prog import MIN, LinProg
 from .var import LinVar
 
-__all__ = ["presolve", "solve_with_presolve", "PresolveResult"]
+__all__ = ["presolve", "solve_with_presolve", "map_duals_through_presolve",
+           "PresolveResult"]
 
 _FLIP = {"<=": ">=", ">=": "<=", "==": "=="}
 
@@ -239,6 +240,166 @@ def presolve(prog: LinProg, max_rounds: int = 25) -> PresolveResult:
     return res
 
 
+def _canon_key(con: LinCon, fixed: Dict[str, Fraction]):
+    """Normalized (key, comp, rhs, a0) of a constraint AFTER substituting
+    the presolve-fixed variables — the same normalization the duplicate-row
+    pass uses, so reduced rows and surviving original rows meet on equal
+    keys. Returns None for rows that became empty (their dual is 0)."""
+    c2 = LinCon(con.left.substitute(fixed), con.comp,
+                con.right.substitute(fixed))
+    s = c2.simplify()
+    names = sorted(s.left.variables())
+    if not names:
+        return None
+    a0 = s.left.getCoefficient(names[0])
+    key = tuple((nm, s.left.getCoefficient(nm) / a0) for nm in names)
+    comp = s.comp if a0 > 0 else _FLIP[s.comp]
+    rhs = s.right.getConstant() / a0
+    return key, comp, rhs, a0
+
+
+def map_duals_through_presolve(prog: LinProg, res: PresolveResult,
+                               red_duals: Dict, x_full: Dict[str, Fraction]):
+    """Map reduced-program row duals back to the ORIGINAL program's rows
+    (VERDICT r3 item 7 — ``presolve=True`` + ``duals=True`` compose).
+
+    ``red_duals``: the reduced program's duals as produced by
+    ``original_sensitivity`` ({index: shadow price} in the ORIGINAL
+    objective sense, canonical ``vars comp const`` convention).
+    ``x_full``: the recovered original-variable optimum (binding checks).
+
+    Method (all exact rationals):
+
+    1. Reduced rows and surviving original rows are matched by the same
+       normalized left-side key the duplicate-row pass groups on; a reduced
+       row's dual is un-normalized by the original row's leading
+       coefficient (d obj / d rhs_orig = (1/a0) d obj / d rhs_norm) and
+       assigned to the original row whose normalized rhs ACHIEVED the
+       reduced row's rhs in the binding direction (ties: first such row —
+       dual solutions are not unique and any KKT-valid assignment is a
+       correct dual). An equality synthesized from a <=/>= pair splits by
+       sign: min-sense duals of <= rows are <= 0, of >= rows >= 0.
+    2. Rows presolve removed as empty/redundant get dual 0 (valid: they
+       are non-binding or linearly dependent on the kept representative).
+    3. Singleton rows became variable bounds; their duals are repaired
+       from KKT residuals: for each variable, the residual reduced cost
+       ``d_j = c_j - sum_i y_i a_ij`` must vanish unless x_j sits at a
+       bound — if the binding bound came from a singleton row (binding at
+       x_j's value, sign-compatible), that row absorbs ``d_j / a_row``;
+       otherwise the residual is the variable's legitimate reduced cost at
+       its DECLARED bound.
+
+    Returns ``(duals, reduced_costs)`` in the ``original_sensitivity``
+    convention, including name keys for named constraints.
+    """
+    from .prog import MAX as _MAX
+
+    sense_sign = Fraction(-1) if prog.objective.sense == _MAX else Fraction(1)
+    n_rows = len(prog.constraints)
+    canon = [_canon_key(con, res.fixed) for con in prog.constraints]
+    # min-sense duals per original row (canonical-form convention)
+    y_min: List[Fraction] = [Fraction(0)] * n_rows
+
+    # --- 1: match reduced rows by normalized key -------------------------
+    by_key: Dict[Tuple, List[int]] = {}
+    for i, ck in enumerate(canon):
+        if ck is not None:
+            by_key.setdefault(ck[0], []).append(i)
+    red_canon = [(_canon_key(con, {}), ci)
+                 for ci, con in enumerate(res.prog.constraints)]
+    for ck, ci in red_canon:
+        if ck is None:
+            continue
+        key, comp, rhs, _ = ck
+        y_sense = red_duals.get(ci, Fraction(0))
+        ymin = sense_sign * Fraction(y_sense)
+        if ymin == 0:
+            continue
+
+        def assign(direction, amount):
+            """Give ``amount`` (min-sense, normalized) to the first original
+            row in this key group that bound the ``direction`` endpoint."""
+            for i in by_key.get(key, []):
+                _, ocomp, orhs, oa0 = canon[i]
+                if orhs != rhs:
+                    continue
+                if direction == "hi" and ocomp in ("<=", "=="):
+                    y_min[i] += amount / oa0
+                    return True
+                if direction == "lo" and ocomp in (">=", "=="):
+                    y_min[i] += amount / oa0
+                    return True
+            return False
+
+        if comp == "<=":
+            assign("hi", ymin)
+        elif comp == ">=":
+            assign("lo", ymin)
+        else:  # synthesized or genuine equality: split by min-sense sign
+            if ymin <= 0:
+                assign("hi", ymin) or assign("lo", ymin)
+            else:
+                assign("lo", ymin) or assign("hi", ymin)
+
+    # --- 3: singleton-row repair from KKT residuals ----------------------
+    # residual reduced cost per variable over the ORIGINAL data (the
+    # original canonical rows keep every coefficient, including those of
+    # presolve-fixed variables; y_min is d obj / d rhs of exactly these
+    # rows — substituting fixed terms only shifts the rhs by a constant)
+    obj_min = prog.objective.expr
+    canon_orig = [con.simplify() for con in prog.constraints]
+
+    def residual(name):
+        d = sense_sign * obj_min.getCoefficient(name)
+        for i, s in enumerate(canon_orig):
+            if y_min[i] == 0:
+                continue
+            a = s.left.getCoefficient(name)
+            if a:
+                d -= y_min[i] * a
+        return d
+
+    for name in prog.allVarNames():
+        d_j = residual(name)
+        if d_j == 0:
+            continue
+        x_j = Fraction(x_full.get(name, Fraction(0)))
+        # candidate singleton rows in the ORIGINAL canonical form (a row
+        # that FIXED its variable becomes empty after substitution, so the
+        # post-substitution keys cannot see it): support == {name}, binding
+        # at x_j, sign-compatible in the min frame
+        for i, s in enumerate(canon_orig):
+            if y_min[i] != 0:
+                continue
+            if tuple(s.left.variables()) != (name,):
+                continue
+            a = s.left.getCoefficient(name)
+            if a == 0 or a * x_j != s.right.getConstant():
+                continue                      # not binding at the optimum
+            comp_n = s.comp if a > 0 else _FLIP[s.comp]
+            if comp_n == "==" or \
+                    (comp_n == "<=" and d_j <= 0) or \
+                    (comp_n == ">=" and d_j >= 0):
+                y_min[i] = d_j / a            # d obj / d rhs_orig
+                d_j = Fraction(0)
+                break
+        # any remaining d_j is the variable's reduced cost at a DECLARED
+        # bound — reported below, not a row dual
+
+    # --- package in the original_sensitivity convention ------------------
+    duals: Dict = {}
+    for i in range(n_rows):
+        duals[i] = sense_sign * y_min[i]
+    names = getattr(prog, "con_names", None) or []
+    for i, nm in enumerate(names):
+        if nm is not None and i in duals:
+            duals[nm] = duals[i]
+    reduced: Dict[str, Fraction] = {}
+    for name in prog.allVarNames():
+        reduced[name] = sense_sign * residual(name)
+    return duals, reduced
+
+
 def solve_with_presolve(prog: LinProg, **options):
     """Presolve, solve the reduced program, and map the solution back.
 
@@ -248,19 +409,16 @@ def solve_with_presolve(prog: LinProg, **options):
     column, the reduced program is solved only to decide feasibility and the
     status is ``unbounded`` (feasible) or ``infeasible``.
 
-    Row duals / basis / column values of the reduced program live in the
-    REDUCED row/column space with no mapping back to the original program,
-    so ``duals=True`` is rejected here and those fields are cleared whenever
-    presolve changed the program (use ``solve(presolve=False, duals=True)``
-    for sensitivity output).
+    ``duals=True`` composes (round 4, VERDICT r3 item 7): the reduced
+    program is solved with sensitivity output and
+    ``map_duals_through_presolve`` lifts the row duals / reduced costs back
+    into the ORIGINAL program's rows and variables. Basis / column values
+    remain reduced-space artifacts and are cleared whenever presolve
+    changed the program.
     """
     from ..solve.api import Solution
 
-    if options.get("duals"):
-        raise ValueError(
-            "duals=True is unsupported with presolve: row duals would be "
-            "reported in the reduced program's row space; solve with "
-            "presolve=False for duals")
+    want_duals = bool(options.get("duals"))
     res = presolve(prog)
     if res.status is not None:
         return Solution(status=res.status)
@@ -274,12 +432,24 @@ def solve_with_presolve(prog: LinProg, **options):
         return Solution(status=feas.status)
     if not res.prog.allVarNames():       # fully solved by presolve
         obj = res.prog.objective.expr.getConstant()
-        return Solution(
+        sol = Solution(
             status="optimal", objective=obj, x=res.recover({}),
             objective_min=_min_coef(prog.objective.sense, obj))
+        if want_duals:
+            sol.duals, sol.reduced_costs = map_duals_through_presolve(
+                prog, res, {}, sol.x)
+        return sol
     sol = res.prog.solve(**options)
     if sol.x is not None:
         sol.x = res.recover(sol.x)
+    if want_duals and sol.status == "optimal" and sol.duals is not None:
+        # ALWAYS map: even with zero removals the duplicate-row pass
+        # normalizes each row by its leading coefficient, so reduced-row
+        # duals are scaled relative to the original rhs
+        red_duals = {i: v for i, v in sol.duals.items()
+                     if isinstance(i, int)}
+        sol.duals, sol.reduced_costs = map_duals_through_presolve(
+            prog, res, red_duals, sol.x)
     if res.fixed or res.removed_rows or res.removed_vars:
         # reduced-space row/column artifacts must not leak as if they were
         # original-space (advisor finding): clear them
