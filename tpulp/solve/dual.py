@@ -321,13 +321,15 @@ def _wave_summaries(out: SimplexState, R, const):
     full tunnel roundtrip — the dominant wave cost once warm starts shrank
     the solves themselves).
 
-    Layout (B, m+6) in the tableau dtype:
+    Layout (B, m+6+n_int) in the tableau dtype:
     [corner, maxdist, branch-value, status, niter, argmax-fractional,
-    basis...] — the int fields are exact in f32 (all < 2^24). The
-    integrality check is the device reduction recover ``R @ x + const`` per
-    lane, reduced to the max distance-to-integer, the most-fractional
-    variable index, and that variable's value (so the host can branch
-    without fetching or refining x at all)."""
+    basis..., int-var values...] — the int fields are exact in f32 (all <
+    2^24). The integrality check is the device reduction recover
+    ``R @ x + const`` per lane, reduced to the max distance-to-integer, the
+    most-fractional variable index, and that variable's value; the FULL
+    per-lane integer-variable value vector rides at the tail (a few KB per
+    wave — round 4, so pseudocost branching can select among all
+    fractional variables in float64 bounding mode, not just the argmax)."""
 
     def one(T1, basis1):
         x = jnp.zeros((T1.shape[1] - 1,), T1.dtype)
@@ -335,14 +337,15 @@ def _wave_summaries(out: SimplexState, R, const):
         vals = R @ x + const
         dist = jnp.abs(vals - jnp.round(vals))
         am1 = jnp.argmax(dist)
-        return jnp.max(dist), am1.astype(jnp.int32), vals[am1]
+        return jnp.max(dist), am1.astype(jnp.int32), vals[am1], vals
 
-    md, am, bval = jax.vmap(one)(out.T, out.basis)
+    md, am, bval, vals = jax.vmap(one)(out.T, out.basis)
     dtype = out.T.dtype
     return jnp.concatenate(
         [out.T[:, 0, -1:], md[:, None].astype(dtype), bval[:, None],
          out.status[:, None].astype(dtype), out.niter[:, None].astype(dtype),
-         am[:, None].astype(dtype), out.basis.astype(dtype)], axis=1)
+         am[:, None].astype(dtype), out.basis.astype(dtype),
+         vals.astype(dtype)], axis=1)
 
 
 @jax.jit
