@@ -544,3 +544,67 @@ class TestPseudocostBranching:
         lp = knapsack([4, 5], [2, 3], 4)
         with pytest.raises(ValueError, match="branching"):
             solve_milp(lp, branching="strongest")
+
+
+class TestSpanEncodedNodes:
+    """node_encoding='spans' (round 4): B&B over the batched bounded driver
+    — zero bound rows in any node tableau; answers must match the rows
+    encoding and the DP oracle exactly."""
+
+    @pytest.mark.parametrize("seed", [3, 9])
+    def test_knapsack_matches_rows_and_oracle(self, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        n = 16
+        values = [int(v) for v in rng.integers(10, 60, size=n)]
+        weights = [int(w) for w in rng.integers(5, 25, size=n)]
+        cap = int(sum(weights) * 0.4)
+        lp = knapsack(values, weights, cap)
+        rows = solve_milp(lp)
+        spans = solve_milp(lp, node_encoding="spans")
+        assert spans.status == rows.status == "optimal"
+        assert spans.objective == rows.objective == dp_knapsack_oracle(
+            values, weights, cap)
+        assert all(spans.x[f"x{i}"].denominator == 1 for i in range(n))
+
+    def test_node_tableaus_are_bound_free(self):
+        from tpulp.model.lower import lower_to_standard_form
+
+        lp = knapsack([10, 13, 7, 8], [5, 6, 4, 3], 10)
+        assert lower_to_standard_form(lp, simple_bounds=True).m == 1
+        assert lower_to_standard_form(lp, integer_bound_rows=True).m == 9
+
+    def test_raised_lower_bound_negative_rhs_path(self):
+        """An equality row with positive coefficients: forcing lbs up makes
+        the shifted b negative, exercising the row-negation + artificial
+        fallback in _node_sf."""
+        lp = LinProg()
+        lp.addVar("a", integral=True, lb=0, ub=3)
+        lp.addVar("b", integral=True, lb=0, ub=3)
+        lp.maximize(LinExpr(2, "a", 3, "b"))
+        lp.addConstraint(LinExpr(2, "a", 2, "b").constraintEq(5))  # no int pt
+        sol = solve_milp(lp, node_encoding="spans")
+        assert sol.status == "infeasible"
+        lp2 = LinProg()
+        lp2.addVar("a", integral=True, lb=0, ub=4)
+        lp2.addVar("b", integral=True, lb=0, ub=4)
+        lp2.maximize(LinExpr(2, "a", 1, "b"))
+        lp2.addConstraint(LinExpr(2, "a", 2, "b").constraintEq(6))
+        s2 = solve_milp(lp2, node_encoding="spans")
+        r2 = solve_milp(lp2)
+        assert s2.status == r2.status == "optimal"
+        assert s2.objective == r2.objective
+
+    def test_free_split_integer_rejected(self):
+        lp = LinProg()
+        lp.addVariable(LinVar("x", True, None, None))   # free integer var
+        lp.minimize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(1, "x").constraintGeq(-3))
+        with pytest.raises(ValueError, match="lower bound"):
+            solve_milp(lp, node_encoding="spans", presolve=False)
+
+    def test_checkpoint_rejected(self):
+        lp = knapsack([4, 5], [2, 3], 4)
+        with pytest.raises(ValueError, match="spans"):
+            solve_milp(lp, node_encoding="spans", checkpoint_path="/tmp/x")

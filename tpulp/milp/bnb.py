@@ -214,6 +214,7 @@ def solve_milp(
     resume_from: Optional[str] = None,
     presolve: bool = True,
     branching: str = "most_fractional",
+    node_encoding: str = "rows",
     **opt_overrides,
 ):
     """Solve a mixed-integer LinProg by branch-and-bound.
@@ -293,6 +294,7 @@ def solve_milp(
                              checkpoint_every=checkpoint_every,
                              resume_from=resume_from,
                              presolve=False, branching=branching,
+                             node_encoding=node_encoding,
                              **opt_overrides)
             sol, st = out if return_stats else (out, None)
             if sol.x is not None:
@@ -308,6 +310,21 @@ def solve_milp(
 
         sol = solve_lp(prog, options=options, dtype=dtype, refine="exact")
         return (sol, stats) if return_stats else sol
+
+    if node_encoding == "spans":
+        # bound-vector node encoding over the batched bounded driver
+        # (tpulp.milp.spans): no bound rows in any node tableau; cold waves
+        if checkpoint_path is not None or resume_from is not None:
+            raise ValueError("node_encoding='spans' does not support "
+                             "checkpoint/resume yet; use 'rows'")
+        from .spans import solve_milp_spans
+
+        return solve_milp_spans(
+            prog, options=options, dtype=dtype, batch_size=batch_size,
+            max_nodes=max_nodes, refine=refine, int_tol=int_tol,
+            return_stats=return_stats)
+    if node_encoding != "rows":
+        raise ValueError(f"unknown node_encoding {node_encoding!r}")
 
     root_sf = lower_to_standard_form(prog, integer_bound_rows=True)
     if root_sf.trivially_infeasible:

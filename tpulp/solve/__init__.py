@@ -13,6 +13,7 @@ from .bounded import (
     BoundedState,
     make_bounded_state,
     run_simplex_bounded,
+    run_simplex_bounded_batch,
 )
 from .dual import run_dual_simplex, warm_state_from_basis
 from .refine import exact_basis_solve, refine_basis_solution
@@ -21,6 +22,7 @@ __all__ = [
     "BoundedState",
     "make_bounded_state",
     "run_simplex_bounded",
+    "run_simplex_bounded_batch",
     "run_dual_simplex",
     "warm_state_from_basis",
     "run_simplex_blocked_batch",
