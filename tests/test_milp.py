@@ -608,3 +608,38 @@ class TestSpanEncodedNodes:
         lp = knapsack([4, 5], [2, 3], 4)
         with pytest.raises(ValueError, match="spans"):
             solve_milp(lp, node_encoding="spans", checkpoint_path="/tmp/x")
+
+
+class TestResumeWarmFromCheckpointBasis:
+    def test_first_resumed_wave_is_warm(self, tmp_path):
+        """Round 4 (ADVICE r3): checkpointed parent bases are an ACTIVE
+        fast path — the resumed first wave reconstructs parent frames and
+        re-optimizes with the dual simplex instead of solving cold."""
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        n = 18
+        values = [int(v) for v in rng.integers(10, 60, size=n)]
+        weights = [int(w) for w in rng.integers(5, 25, size=n)]
+        cap = int(sum(weights) * 0.4)
+        lp = knapsack(values, weights, cap)
+        ck = str(tmp_path / "ck.json")
+        part = solve_milp(lp, batch_size=8, max_nodes=10,
+                          checkpoint_path=ck, checkpoint_every=1)
+        assert part.status in ("node_limit", "optimal")
+        # the checkpoint carries bases for the warm frontier nodes
+        import json as _json
+
+        nodes = _json.load(open(ck))["nodes"]
+        with_basis = [nd for nd in nodes if nd.get("basis")]
+        assert with_basis, "no checkpointed parent bases"
+        # resume with ONE wave's worth of budget: the warm count must
+        # already include resumed nodes (previously the first wave was cold)
+        sol, stats = solve_milp(lp, batch_size=16, resume_from=ck,
+                                max_nodes=len(nodes), return_stats=True)
+        assert stats.warm_nodes >= min(len(with_basis), 16)
+        # and running to completion still lands the DP oracle
+        full, _ = solve_milp(lp, batch_size=16, resume_from=ck,
+                             return_stats=True)
+        assert full.status == "optimal"
+        assert full.objective == dp_knapsack_oracle(values, weights, cap)

@@ -57,11 +57,11 @@ def save_bnb_frontier(path: str, frontier: List[Tuple], incumbent_z,
     [(bound, tiebreak, {var: (lb, ub)}, parent_basis|None), ...].
 
     All rationals are stored as exact 'p/q' strings. The optional parent
-    basis (batched-space column indices) is persisted when provided, but the
-    current ``solve_milp`` resume path solves resumed nodes COLD — their
-    children warm-start again from the first wave on; the basis field is a
-    format hook for future basis-crash resumes, not an active fast path.
-    Legacy 3-tuples (no basis) are accepted."""
+    basis (batched-space column indices) re-enables dual-simplex warm starts
+    after a resume (round 4): ``solve_milp`` reconstructs the parent frame
+    from (basis, node b) and re-optimizes with the dual simplex, so even
+    the resumed FIRST wave runs warm. Legacy 3-tuples (no basis) are
+    accepted and solve cold."""
     nodes = []
     for entry in frontier:
         if len(entry) == 3:

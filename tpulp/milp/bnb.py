@@ -382,10 +382,15 @@ def solve_milp(
         counter = itertools.count(
             start=1 + max((tb for _, tb, _, _ in loaded), default=0))
         for bound, tb, bounds, _pbasis in loaded:
-            # device states are not serializable: resumed nodes re-solve
-            # cold; their children warm-start again from the first wave on
+            # nodes checkpointed WITH a parent basis warm-start right from
+            # the resumed first wave (frame reconstruction + dual simplex);
+            # legacy/basis-less nodes re-solve cold
+            pb = None
+            if _pbasis is not None and len(_pbasis) == root_sf.m:
+                pb = np.asarray(_pbasis, dtype=np.int32)
             heapq.heappush(frontier,
-                           (float(bound), tb, bound, bounds, None, None))
+                           (float(bound), tb, bound, bounds, None, None,
+                            pb))
         inc = ck_meta.get("incumbent")
         if inc is not None:
             incumbent = Solution(
@@ -397,7 +402,7 @@ def solve_milp(
         heapq.heappush(
             frontier,
             (-1e18, next(counter), Fraction(-10**18), root_bounds, None,
-             None))
+             None, None))
 
     def _checkpoint():
         from ..io.checkpoint import save_bnb_frontier
@@ -410,11 +415,19 @@ def solve_milp(
                 "objective_min": str(Fraction(incumbent.objective_min)),
                 "x": {k: str(Fraction(v)) for k, v in incumbent.x.items()},
             }
-        save_bnb_frontier(
-            checkpoint_path,
-            [(bound, tb, bounds, None)
-             for _, tb, bound, bounds, _ref, _pc in frontier],
-            incumbent_z, meta=meta)
+        # persist each warm node's PARENT basis (one pool fetch per
+        # checkpoint): a resumed run reconstructs the parent frame from it
+        # and re-optimizes with the dual simplex instead of solving cold
+        pool_np = None
+        entries = []
+        for _, tb, bound, bounds, ref, _pc, pb in frontier:
+            basis_out = None if pb is None else pb
+            if ref is not None:
+                if pool_np is None:
+                    pool_np = np.asarray(pool_basis)
+                basis_out = pool_np[ref[0]]
+            entries.append((bound, tb, bounds, basis_out))
+        save_bnb_frontier(checkpoint_path, entries, incumbent_z, meta=meta)
     root_unbounded = False
     R_dev = const_dev = None  # device recover map for the integrality check
     template = art_row_mask = None  # device-resident batched wave template
@@ -526,7 +539,8 @@ def solve_milp(
     while frontier and stats.nodes_solved < max_nodes:
         wave: List[Tuple] = []
         while frontier and len(wave) < batch_size:
-            _, _, bound, bounds, warm_ref, pc_tag = heapq.heappop(frontier)
+            (_, _, bound, bounds, warm_ref, pc_tag,
+             pbasis) = heapq.heappop(frontier)
             if warm_ref is not None:
                 # this child's claim on its parent's pool slot ends once it
                 # is consumed here (functional pool updates make same-cycle
@@ -536,7 +550,7 @@ def solve_milp(
             if cannot_improve(bound):
                 stats.nodes_pruned_bound += 1
                 continue
-            wave.append((bound, bounds, warm_ref, pc_tag))
+            wave.append((bound, bounds, warm_ref, pc_tag, pbasis))
         if not wave:
             break
 
@@ -569,7 +583,10 @@ def solve_milp(
             max_iters_dev = jnp.asarray(options.max_iters, jnp.int32)
         n_wave = len(wave)
         m_rows = root_sf.m
-        cold_idx = [k for k in range(n_wave) if wave[k][2] is None]
+        ck_idx = [k for k in range(n_wave)
+                  if wave[k][2] is None and wave[k][4] is not None]
+        cold_idx = [k for k in range(n_wave)
+                    if wave[k][2] is None and wave[k][4] is None]
         warm_idx = [k for k in range(n_wave) if wave[k][2] is not None]
 
         # each sub-wave returns ONE packed summary array so the host pays a
@@ -588,6 +605,26 @@ def solve_milp(
             cout = run_simplex_batch(batched, options)
             outs.append((cold_idx, cout, False,
                          pack_wave_summary(cout, R_dev, const_dev)))
+        if ck_idx:
+            # resumed nodes with a CHECKPOINTED parent basis: reconstruct
+            # the parent frame from (basis, b) and re-optimize with the
+            # dual simplex — the resume analogue of the pool warm start
+            # (io/checkpoint.py format field, now an active fast path)
+            from ..solve.dual import pack_wave_summary, run_warm_batch
+
+            T0 = template.T[0]
+            basis_mat = np.zeros((len(ck_idx), m_rows), np.int32)
+            b_ck = np.zeros((len(ck_idx), m_rows), np.float64)
+            for lane, k in enumerate(ck_idx):
+                basis_mat[lane] = wave[k][4]
+                b_ck[lane] = [float(v) for v in sfs[k].b]
+            ckout = run_warm_batch(
+                T0[2:, :-1], T0[0, :-1], warm_masks[0],
+                template.art_cols[0], basis_mat,
+                jnp.asarray(b_ck, dtype=template.T.dtype), options)
+            outs.append((ck_idx, ckout, True,
+                         pack_wave_summary(ckout, R_dev, const_dev)))
+            stats.warm_nodes += len(ck_idx)
         if warm_idx:
             from ..solve.dual import run_warm_wave
 
@@ -682,7 +719,7 @@ def solve_milp(
                         intvals[i] = ivals[lane][:len(branch_names)]
                 state_ref[i] = (out, lane)
 
-        for k, ((parent_bound, bounds, _, pc_tag),
+        for k, ((parent_bound, bounds, _, pc_tag, _pb),
                 sol) in enumerate(zip(wave, sols)):
             if sol.status in ("numerical_error", "iteration_limit"):
                 # a failed lane must not be silently dropped (it may hold the
@@ -836,7 +873,7 @@ def solve_milp(
                     frontier,
                     (zf, next(counter),
                      z if exact_mode else Fraction(zf).limit_denominator(10**12),
-                     child, warm_ref, child_pc))
+                     child, warm_ref, child_pc, None))
             if slot is not None:
                 if warm_children:
                     slot_refs[slot] = warm_children
