@@ -322,3 +322,19 @@ class TestBatchedBounded:
         for k in range(8):
             assert b[k].status == r[k].status == "optimal"
             assert b[k].objective == r[k].objective, k
+
+
+class TestMeshComposesWithSimpleBounds:
+    def test_mesh_simple_bounds_matches_row_path(self):
+        """round 4: solve_lp(mesh=..., simple_bounds=True) no longer raises
+        — spans are materialized into rows for the sharded drivers (exact,
+        same optimum; the bound-free sharded ratio test is a perf
+        follow-on)."""
+        from tpulp.shard import make_mesh
+
+        mesh = make_mesh(4)
+        lp = _box_lp()
+        sol = solve_lp(lp, mesh=mesh, simple_bounds=True)
+        assert sol.status == "optimal" and sol.objective == 14
+        ref = solve_lp(lp, simple_bounds=True)
+        assert sol.objective == ref.objective

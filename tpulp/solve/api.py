@@ -199,12 +199,20 @@ def solve_standard_form(
         pricing = "default"
     at_upper_np = None
     bout = None
+    if bounded and mesh is not None:
+        # the sharded drivers have no bounded ratio test yet: materialize
+        # the spans into explicit rows (exact, same optimum) so
+        # mesh x simple_bounds COMPOSES — at row-lowering cost. The
+        # bound-free sharded driver is a perf follow-on, not a capability
+        # hole (tests pin objective parity through this path).
+        from ..model.lower import materialize_simple_bounds
+
+        sf = materialize_simple_bounds(sf)
+        state = state_from_standard_form(sf, dtype=dtype)
+        bounded = False
     if bounded:
         # simple_bounds lowering: finite spans never became tableau rows —
         # the bounded-variable driver enforces them in its ratio test
-        if mesh is not None:
-            raise ValueError("mesh solving does not support simple_bounds "
-                             "lowering yet; use the row-based lowering")
         from .bounded import make_bounded_state, run_simplex_bounded
 
         bout = run_simplex_bounded(
