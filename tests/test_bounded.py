@@ -326,10 +326,10 @@ class TestBatchedBounded:
 
 class TestMeshComposesWithSimpleBounds:
     def test_mesh_simple_bounds_matches_row_path(self):
-        """round 4: solve_lp(mesh=..., simple_bounds=True) no longer raises
-        — spans are materialized into rows for the sharded drivers (exact,
-        same optimum; the bound-free sharded ratio test is a perf
-        follow-on)."""
+        """round 4: solve_lp(mesh=..., simple_bounds=True) runs the SHARDED
+        bounded-variable driver (spans in the ratio test, no bound rows on
+        any shard — tpulp/shard/sharded_bounded.py); full walk-parity
+        coverage lives in tests/test_shard.py::TestShardedBounded."""
         from tpulp.shard import make_mesh
 
         mesh = make_mesh(4)

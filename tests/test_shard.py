@@ -379,3 +379,106 @@ class TestShardedBlockedDevex:
         with pytest.raises(ValueError, match="blocked"):
             solve_lp(textbook_lp(), mesh=mesh, pricing="devex",
                      shard_driver="rank1")
+
+
+class TestShardedBounded:
+    """Sharded bounded-variable driver (round 4): spans in the ratio test
+    on the column-partitioned layout, pinned against the SOLO bounded
+    driver's exact walk."""
+
+    def _solo_and_sharded(self, mesh, lp, max_iters=1000):
+        from tpulp.solve.bounded import (make_bounded_state,
+                                         run_simplex_bounded)
+        from tpulp.shard import (from_sharded_bounded_state,
+                                 run_simplex_sharded_bounded,
+                                 to_sharded_bounded_state)
+
+        sf = lp.lower(simple_bounds=True)
+        st = state_from_standard_form(sf)
+        opts = SolverOptions.for_dtype(st.T.dtype, max_iters=max_iters)
+        solo = run_simplex_bounded(make_bounded_state(st, sf.upper), opts)
+        sb = to_sharded_bounded_state(
+            make_bounded_state(state_from_standard_form(sf), sf.upper),
+            mesh)
+        out = from_sharded_bounded_state(
+            run_simplex_sharded_bounded(sb, mesh, opts), st.n)
+        return solo, out
+
+    def test_box_lp_exact_walk_parity(self, mesh):
+        lp = LinProg()
+        lp.addVar("x", lb=0, ub=4)
+        lp.addVar("y", lb=0, ub=3)
+        lp.maximize(LinExpr(3, "x", 2, "y"))
+        lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(5))
+        solo, out = self._solo_and_sharded(mesh, lp)
+        assert int(out.s.status) == int(solo.s.status) == Status.OPTIMAL
+        assert int(out.s.niter) == int(solo.s.niter)
+        assert np.array_equal(np.asarray(out.s.basis),
+                              np.asarray(solo.s.basis))
+        assert np.array_equal(np.asarray(out.at_upper),
+                              np.asarray(solo.at_upper))
+        assert abs(float(out.s.objective()) + 14) < 1e-9  # min form of 14
+
+    @pytest.mark.parametrize("seed", [1, 2, 3, 4])
+    def test_random_box_walk_parity(self, mesh, seed):
+        rng = np.random.default_rng(seed)
+        nv, mc = 6, 4
+        lp = LinProg()
+        obj = LinExpr()
+        for jv in range(nv):
+            lp.addVar(f"v{jv}", lb=0, ub=int(rng.integers(1, 9)))
+            obj += LinExpr(int(rng.integers(-9, 10)), f"v{jv}")
+        lp.maximize(obj)
+        for i in range(mc):
+            e = LinExpr()
+            for jv in range(nv):
+                e += LinExpr(int(rng.integers(-3, 6)), f"v{jv}")
+            lp.addConstraint(e.constraintLeq(int(rng.integers(5, 30))))
+        solo, out = self._solo_and_sharded(mesh, lp)
+        assert int(out.s.status) == int(solo.s.status), seed
+        assert int(out.s.niter) == int(solo.s.niter), seed
+        assert np.array_equal(np.asarray(out.s.basis),
+                              np.asarray(solo.s.basis)), seed
+        assert np.array_equal(np.asarray(out.at_upper),
+                              np.asarray(solo.at_upper)), seed
+
+    def test_pure_flip_solution(self, mesh):
+        # max x, x <= 2 with slack bound only: solo solves by ONE flip
+        lp = LinProg()
+        lp.addVar("x", lb=0, ub=2)
+        lp.maximize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(1, "x").constraintLeq(10))
+        solo, out = self._solo_and_sharded(mesh, lp)
+        assert int(out.s.status) == Status.OPTIMAL
+        assert int(out.s.niter) == int(solo.s.niter)
+        assert bool(np.asarray(out.at_upper)[0])  # x nonbasic at upper
+
+    def test_solve_lp_mesh_simple_bounds_end_to_end(self, mesh):
+        from tpulp.solve import solve_lp
+
+        lp = LinProg()
+        lp.addVar("x", lb=0, ub=4)
+        lp.addVar("y", lb=0, ub=3)
+        lp.maximize(LinExpr(3, "x", 2, "y"))
+        lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(5))
+        sol = solve_lp(lp, mesh=mesh, simple_bounds=True)
+        assert sol.status == "optimal" and sol.objective == 14
+        # spans produced NO rows even on the mesh path
+        assert lp.lower(simple_bounds=True).m == 1
+
+    def test_statuses(self, mesh):
+        from tpulp.solve import solve_lp
+
+        inf_lp = LinProg()
+        inf_lp.addVar("x", lb=0, ub=5)
+        inf_lp.minimize(LinExpr(1, "x"))
+        inf_lp.addConstraint(LinExpr(1, "x").constraintGeq(9))
+        assert solve_lp(inf_lp, mesh=mesh,
+                        simple_bounds=True).status == "infeasible"
+        unb = LinProg()
+        unb.addVar("x", lb=0, ub=5)
+        unb.addVar("free", lb=0)
+        unb.maximize(LinExpr(1, "x", 1, "free"))
+        unb.addConstraint(LinExpr(1, "x").constraintLeq(4))
+        assert solve_lp(unb, mesh=mesh,
+                        simple_bounds=True).status == "unbounded"

@@ -10,6 +10,12 @@ from .sharded import (
     to_sharded_state,
 )
 from .sharded_blocked import run_simplex_sharded_blocked
+from .sharded_bounded import (
+    ShardedBoundedState,
+    from_sharded_bounded_state,
+    run_simplex_sharded_bounded,
+    to_sharded_bounded_state,
+)
 
 __all__ = [
     "ShardedState",
@@ -20,4 +26,8 @@ __all__ = [
     "from_sharded_state",
     "run_simplex_sharded",
     "run_simplex_sharded_blocked",
+    "ShardedBoundedState",
+    "to_sharded_bounded_state",
+    "from_sharded_bounded_state",
+    "run_simplex_sharded_bounded",
 ]

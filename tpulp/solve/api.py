@@ -159,8 +159,9 @@ def solve_standard_form(
     (DEFAULT): rank-1 below ~200k tableau elements, above that the Pallas
     kernel on a real TPU backend and the blocked driver elsewhere. Devex
     pricing rides every single-device engine (rank-1 / blocked / pallas);
-    simple_bounds lowerings and mesh solving pin their own engine
-    (bounded / sharded).
+    simple_bounds lowerings pin the bounded engines (solo or the SHARDED
+    bounded driver when a mesh is given) and mesh solving otherwise pins
+    the sharded drivers.
 
     ``fallback='auto'`` climbs a precision ladder on numeric failure (the
     drivers report Status.NUMERIC when f32 iterates go non-finite; the
@@ -200,17 +201,22 @@ def solve_standard_form(
     at_upper_np = None
     bout = None
     if bounded and mesh is not None:
-        # the sharded drivers have no bounded ratio test yet: materialize
-        # the spans into explicit rows (exact, same optimum) so
-        # mesh x simple_bounds COMPOSES — at row-lowering cost. The
-        # bound-free sharded driver is a perf follow-on, not a capability
-        # hole (tests pin objective parity through this path).
-        from ..model.lower import materialize_simple_bounds
+        # sharded bounded-variable driver (round 4): spans stay in the
+        # ratio test on the column-partitioned layout — no bound rows on
+        # any shard (shard/sharded_bounded.py)
+        from ..shard.sharded_bounded import (from_sharded_bounded_state,
+                                             run_simplex_sharded_bounded,
+                                             to_sharded_bounded_state)
+        from .bounded import make_bounded_state
 
-        sf = materialize_simple_bounds(sf)
-        state = state_from_standard_form(sf, dtype=dtype)
-        bounded = False
-    if bounded:
+        sb = to_sharded_bounded_state(
+            make_bounded_state(state, sf.upper), mesh, axis=shard_axis)
+        osb = run_simplex_sharded_bounded(sb, mesh, options,
+                                          axis=shard_axis)
+        bout = from_sharded_bounded_state(osb, state.n)
+        out = bout.s
+        at_upper_np = np.asarray(bout.at_upper)
+    elif bounded:
         # simple_bounds lowering: finite spans never became tableau rows —
         # the bounded-variable driver enforces them in its ratio test
         from .bounded import make_bounded_state, run_simplex_bounded
