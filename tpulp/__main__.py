@@ -82,6 +82,11 @@ def _cmd_solve(args) -> int:
     if getattr(args, "pricing", "default") != "default" \
             and not prog.isMixedInteger():
         kwargs["pricing"] = args.pricing
+    if prog.isMixedInteger():
+        if getattr(args, "branching", "most_fractional") != "most_fractional":
+            kwargs["branching"] = args.branching
+        if getattr(args, "node_encoding", "rows") != "rows":
+            kwargs["node_encoding"] = args.node_encoding
     sol = prog.solve(presolve=args.presolve, **kwargs)
     out = {"status": sol.status}
     if sol.is_optimal:
@@ -181,6 +186,12 @@ def main(argv=None) -> int:
                          "DEFAULT for .mps input")
     p1.add_argument("--no-presolve", action="store_true",
                     help="disable presolve (overrides the .mps default)")
+    p1.add_argument("--branching", default="most_fractional",
+                    choices=["most_fractional", "pseudocost"],
+                    help="MILP branch-variable rule")
+    p1.add_argument("--node-encoding", default="rows",
+                    choices=["rows", "spans"], dest="node_encoding",
+                    help="MILP node encoding (spans = bound-free tableaus)")
     p1.add_argument("--pricing", default="default",
                     choices=["default", "devex"],
                     help="device pricing rule for LP solves (devex: far "
