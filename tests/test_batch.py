@@ -215,3 +215,35 @@ def test_solve_lp_batch_blocked_driver():
     for x, y in zip(a, b):
         assert x.status == y.status == "optimal"
         assert x.objective == y.objective
+
+
+def test_batched_blocked_honors_devex_rule():
+    """RULE_DEVEX flows through the vmapped rank-K driver: each lane walks
+    the single-problem devex path (same niter per lane as solo)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from tpulp.core import RULE_DEVEX, SolverOptions, Status
+    from tpulp.corpus import get_case
+    from tpulp.solve.api import state_from_standard_form
+    from tpulp.solve.blocked import (run_simplex_blocked,
+                                     run_simplex_blocked_batch)
+
+    sf = get_case("equality_heavy_24").lp().lower()
+    st = state_from_standard_form(sf)
+    opts = dataclasses.replace(
+        SolverOptions.for_dtype(jnp.float64, max_iters=2000),
+        rule=RULE_DEVEX)
+    solo = run_simplex_blocked(st, opts, block=8)
+    batched = jax.tree.map(
+        lambda x: jnp.stack([x, x, x], axis=0), st)
+    out = run_simplex_blocked_batch(batched, opts, block=8)
+    assert int(solo.status) == Status.OPTIMAL
+    for lane in range(3):
+        assert int(out.status[lane]) == Status.OPTIMAL
+        assert int(out.niter[lane]) == int(solo.niter)
+        assert np.array_equal(np.asarray(out.basis[lane]),
+                              np.asarray(solo.basis))
