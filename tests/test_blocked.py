@@ -40,7 +40,12 @@ class TestBlockedParity:
         ref = run_simplex(st)
         out = run_simplex_blocked(st, block=block)
         assert int(out.status) == int(ref.status)
-        assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+        if int(ref.status) == Status.OPTIMAL:
+            assert abs(float(out.objective()) - float(ref.objective())) < 1e-8
+        # this instance is UNBOUNDED: the round-4 per-block ray scan lets
+        # the blocked driver certify that at a flush boundary, possibly
+        # EARLIER than the rank-1 walk reaches the ray column — terminal
+        # objectives of unbounded runs are walk positions, not answers
 
     def test_phase1_and_artificial_cleanup(self):
         lp = LinProg()

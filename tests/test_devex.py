@@ -150,3 +150,44 @@ def test_small_shapes_keep_dantzig():
                       pricing="dantzig")
     assert auto.niter == pinned.niter
     assert auto.objective == pinned.objective == case.objective
+
+
+def test_blocked_ray_scan_certifies_exposed_rays_early():
+    """Round 4 per-block ray scan: when an unbounded ray is EXPOSED (an
+    improving column with no positive entry) while pricing walks other
+    improving columns, the flush-boundary scan certifies unboundedness
+    within one block instead of after the whole walk. Deterministic
+    construction: a Klee-Minty d=8 path (Dantzig takes ~2^8 pivots) plus a
+    tiny-cost all-zero ray column that neither Dantzig nor devex would
+    select until the path is exhausted. (The scan intentionally does NOT
+    claim to fix UNEXPOSED rays — a wandering walk whose visited frames
+    always block every improving column must keep walking; that case is
+    documented in tpulp.solve.devex.)"""
+    import dataclasses
+
+    from tpulp.core import RULE_DEVEX, make_state
+    from tpulp.corpus import get_case
+    from tpulp.solve.api import state_from_standard_form
+    from tpulp.solve.blocked import run_simplex_blocked
+
+    sf = get_case("klee_minty_8").lp().lower()
+    st = state_from_standard_form(sf)
+    T = np.asarray(st.T)
+    m = st.m
+    # append an exposed ray column: cost -1e-3, all constraint entries 0
+    n_old = st.n
+    c = np.concatenate([T[0, :-1], [-1e-3]])
+    A = np.concatenate([T[2:, :-1], np.zeros((m, 1))], axis=1)
+    b = T[2:, -1]
+    st2 = make_state(c, A, b, list(np.asarray(st.basis)),
+                     dtype=jnp.float64)
+    for rule in (None, RULE_DEVEX):
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=5000)
+        if rule is not None:
+            opts = dataclasses.replace(opts, rule=rule)
+        out = run_simplex_blocked(st2, opts, block=32)
+        assert int(out.status) == Status.UNBOUNDED, rule
+        # without the scan the walk runs the ~2^8-pivot Klee-Minty path
+        # before ever selecting the ray column; the scan ends it in <= 2
+        # blocks
+        assert int(out.niter) <= 64, (rule, int(out.niter))

@@ -342,8 +342,19 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
                 precision=lax.Precision.HIGHEST)
             rhs = carry.s.rhs + jnp.einsum('km,k->m', carry.U, carry.vr,
                                            precision=lax.Precision.HIGHEST)
+            s = carry.s._replace(T=T, rhs=rhs)
+            # per-block RAY SCAN (round 4, mirrors solve.blocked): local
+            # column test on each shard's freshly-flushed block + one
+            # scalar psum-any per K pivots
+            improving = s.col_active & (T[0, :] < -opts.opt_tol)
+            blocked_col = jnp.any(T[2:, :] > opts.piv_tol, axis=0)
+            ray_local = jnp.any(improving & ~blocked_col)
+            ray = (lax.psum(ray_local.astype(jnp.int32), axis) > 0) \
+                & (s.phase == 2) & (s.status == Status.RUNNING)
+            s = s._replace(status=jnp.where(
+                ray, jnp.int32(Status.UNBOUNDED), s.status))
             # devex weights persist across the flush boundary
-            return fresh_carry(carry.s._replace(T=T, rhs=rhs), carry.gamma)
+            return fresh_carry(s, carry.gamma)
 
         out = lax.while_loop(outer_cond, outer_body, fresh_carry(sh)).s
         return out._replace(status=jnp.where(

@@ -277,8 +277,23 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
             T = (carry.s.T.astype(dtype) + jnp.einsum(
                 'km,kn->mn', carry.U, carry.V, preferred_element_type=dtype,
                 precision=lax.Precision.HIGHEST)).astype(sdtype)
+            s = carry.s._replace(T=T)
+            # per-block RAY SCAN (round 4): devex pricing can circle an
+            # unbounded ray for thousands of pivots (argmax c^2/gamma keeps
+            # finding other improving columns; measured 10k+ budget-outs
+            # where Dantzig detected unboundedness in ~900). The flush just
+            # materialized the CURRENT tableau, so one O(mn) pass per K
+            # pivots settles it: any improving active phase-2 column with
+            # no entry above piv_tol certifies unboundedness outright.
+            Tf = T.astype(dtype)
+            improving = s.col_active & (Tf[0, :-1] < -opts.opt_tol)
+            blocked_col = jnp.any(Tf[2:, :-1] > opts.piv_tol, axis=0)
+            ray = (jnp.any(improving & ~blocked_col)
+                   & (s.phase == 2) & (s.status == Status.RUNNING))
+            s = s._replace(status=jnp.where(
+                ray, jnp.int32(Status.UNBOUNDED), s.status))
             # devex weights persist across the flush boundary
-            return fresh_carry(carry.s._replace(T=T), carry.gamma)
+            return fresh_carry(s, carry.gamma)
 
         out = lax.while_loop(outer_cond, outer_body, fresh_carry(state)).s
         return out._replace(status=jnp.where(

@@ -137,6 +137,17 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
                                  preferred_element_type=dtype,
                                  precision=lax.Precision.HIGHEST)
             Tt = T.T
+            # per-block RAY SCAN (round 4, mirrors solve.blocked): one
+            # O(mn) pass over the freshly-flushed tableau certifies
+            # unboundedness the in-kernel pricing may circle for thousands
+            # of pivots under devex. Pads are zero / masked so the full-
+            # width reductions are safe; RHS column sits at N-1 < N8.
+            improving = (ca[0, :] > 0) & (T[0, :] < -opts.opt_tol)
+            blocked_col = jnp.any(T[2:, :] > opts.piv_tol, axis=0)
+            ray = (jnp.any(improving & ~blocked_col)
+                   & (iscal[0] == 2) & (iscal[1] == Status.RUNNING))
+            iscal = iscal.at[1].set(jnp.where(
+                ray, jnp.int32(Status.UNBOUNDED), iscal[1]))
             # re-derive the running vectors from the flushed tableau (kills
             # incremental drift once per block)
             # devex weights persist across the flush boundary (matching the

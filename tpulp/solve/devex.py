@@ -31,7 +31,12 @@ the 10k pivot budget where Dantzig detected unboundedness in ~900) — the
 weight scores steer away from the ray direction. Correctness is preserved
 (iteration_limit escalates the precision ladder, which reports the true
 status), but this is why ``solve_lp`` only AUTO-selects devex for
-equality-heavy shapes rather than globally.
+equality-heavy shapes rather than globally. Partial mitigation (round 4):
+the rank-K blocked engines run a free O(mn) ray scan at every flush
+boundary, certifying unboundedness whenever a ray is EXPOSED in the
+current frame (an improving column with no positive entry) regardless of
+what pricing keeps selecting; a ray that no visited basis exposes — the
+measured 128x192 case — still requires walking to a frame that shows it.
 """
 
 from __future__ import annotations
