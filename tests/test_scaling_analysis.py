@@ -15,8 +15,9 @@ def test_blocked_one_fused_psum(p):
     assert summary["n_fused"] == 1
     assert summary["fused_psum_elems"] == 6 + 2 + 8
     # total wire bytes = fused vector + m-elem cleanup scan + 3 scalar
-    # reductions + 2 pricing gathers (p elements each on a p-device mesh)
-    assert summary["total_collective_bytes"] <= 4 * (16 + 6 + 3 + 2 * p)
+    # per-pivot reductions + the PER-BLOCK ray-scan psum-any (round 4)
+    # + 2 pricing gathers (p elements each on a p-device mesh)
+    assert summary["total_collective_bytes"] <= 4 * (16 + 6 + 4 + 2 * p)
 
 
 def test_rank1_has_two_column_psums():

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.state import RULE_BLAND, SimplexState, SolverOptions, Status
+from ..core.state import RULE_BLAND, SolverOptions, Status
 from ..solve.bounded import BoundedState
 from .sharded import ShardedState, _axis_size, from_sharded_state, \
     to_sharded_state
