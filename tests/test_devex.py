@@ -191,3 +191,58 @@ def test_blocked_ray_scan_certifies_exposed_rays_early():
         # before ever selecting the ray column; the scan ends it in <= 2
         # blocks
         assert int(out.niter) <= 64, (rule, int(out.niter))
+
+
+def _hidden_ray_instance(seed, m=128, n=192):
+    """Unbounded LP whose ray is a strictly POSITIVE null direction — no
+    single column certifies it, so per-basis exposed-ray scans alone can't
+    see it until the walk reaches a frame that shows it (the measured
+    round-4 failure class: devex burned the 10k budget where Dantzig
+    detected in ~900 pivots — tpulp.solve.devex module doc)."""
+    rng = np.random.default_rng(seed)
+    A0 = rng.normal(size=(m, n))
+    d = np.abs(rng.normal(size=n)) + 0.2
+    A = A0 - np.outer(A0 @ d, d) / (d @ d)          # A d = 0
+    b = A @ np.abs(rng.normal(size=n))
+    c = rng.normal(size=n)
+    if c @ d > 0:
+        c = c - 2 * (c @ d) * d / (d @ d)            # c.d < 0: unbounded
+    neg = b < 0
+    A = A.copy()
+    A[neg] *= -1
+    b = b.copy()
+    b[neg] *= -1
+    return c, A, b, [-1] * m
+
+
+def test_rank1_devex_ray_safeguard():
+    """Round 5 (VERDICT r4 item 7): the rank-1 devex driver's periodic
+    exposed-ray scan + Dantzig probe detect hidden-ray unboundedness within
+    ~2x Dantzig's pivot count instead of burning the 10k budget."""
+    from tpulp.core import make_state
+    from tpulp.solve import run_simplex
+
+    for seed in (0, 1, 2):
+        c, A, b, hint = _hidden_ray_instance(seed)
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=10000)
+        st = make_state(c, A, b, hint, dtype=jnp.float64)
+        dz = run_simplex(st, opts)
+        dv = run_simplex_devex(st, opts)
+        assert int(dz.status) == Status.UNBOUNDED, seed
+        assert int(dv.status) == Status.UNBOUNDED, seed
+        assert int(dv.niter) <= 2 * int(dz.niter), (
+            seed, int(dv.niter), int(dz.niter))
+
+
+def test_devex_ray_safeguard_no_false_positive_on_bounded():
+    """The safeguard must not misreport bounded instances: the corpus'
+    equality-heavy family (devex's home turf) keeps its exact optimum and
+    its pivot advantage (probe overhead < a few % of the walk)."""
+    from tpulp.corpus import get_case
+
+    case = get_case("equality_heavy_96")
+    sol = solve_lp(case.lp().lower(), max_iters=case.max_iters,
+                   pricing="devex", driver="rank1")
+    assert sol.status == "optimal"
+    assert sol.objective == case.objective
+    assert sol.niter < 1000

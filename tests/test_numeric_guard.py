@@ -120,9 +120,12 @@ class TestFallbackLadder:
         assert sol.status == "numerical_error"
 
     def test_f32_retry_reaches_f64(self, monkeypatch):
-        """An f32-only failure retries on the f64 device path (x64 is on in
-        tests) and succeeds without reaching the host solver."""
+        """An f32-only failure retries on the f64 REFRESHED device rung
+        (round 5: the ladder's middle rung is the periodic-refactorization
+        driver, tpulp.solve.refresh) and succeeds without reaching the
+        host solver."""
         import tpulp.solve.api as api
+        import tpulp.solve.refresh as refresh_mod
 
         real = api.run_simplex
         calls = []
@@ -136,7 +139,19 @@ class TestFallbackLadder:
             return out
 
         monkeypatch.setattr(api, "run_simplex", fake)
+
+        refreshed_dtypes = []
+        real_refreshed = refresh_mod.run_simplex_refreshed
+
+        def spy(c, A, b, hint, opts=None, dtype=None, **kw):
+            refreshed_dtypes.append(jnp.zeros((), dtype).dtype)
+            return real_refreshed(c, A, b, hint, opts, dtype=dtype, **kw)
+
+        monkeypatch.setattr(refresh_mod, "run_simplex_refreshed", spy)
         sol = solve_standard_form(_textbook(), dtype=jnp.float32)
         assert sol.status == "optimal"
         assert sol.objective == 400
-        assert calls == [jnp.dtype(np.float32), jnp.dtype(np.float64)]
+        # the first (failing) attempt ran f32 on the plain driver; the
+        # retry went through the refreshed rung at f64, not the host
+        assert calls == [jnp.dtype(np.float32)]
+        assert refreshed_dtypes == [jnp.dtype(np.float64)]

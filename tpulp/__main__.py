@@ -191,7 +191,12 @@ def main(argv=None) -> int:
                     help="MILP branch-variable rule")
     p1.add_argument("--node-encoding", default="rows",
                     choices=["rows", "spans"], dest="node_encoding",
-                    help="MILP node encoding (spans = bound-free tableaus)")
+                    help="MILP node encoding. 'spans' (bound-free tableaus) "
+                         "is EXPERIMENTAL and measured ~58x slower than "
+                         "'rows' on the set-cover bench (BENCH.md): its win "
+                         "condition needs a bounded-state dual simplex with "
+                         "device node templates, which is not built. Keep "
+                         "the default unless reproducing that analysis")
     p1.add_argument("--pricing", default="default",
                     choices=["default", "devex"],
                     help="device pricing rule for LP solves (devex: far "

@@ -44,11 +44,16 @@ __all__ = [
     "RULE_BLAND",
     "RULE_MAX_INCREASE",
     "RULE_DEVEX",
+    "TIE_FIRST",
+    "TIE_MAXPIV",
     "eta_scaled_options",
 ]
 
 RULE_DANTZIG = 0
 RULE_BLAND = 1
+# ratio-test tie resolution modes (SolverOptions.tie_break)
+TIE_FIRST = 0
+TIE_MAXPIV = 1
 # greatest-improvement pricing (reference findPivotMaxIncrease,
 # /root/reference/lpsol/simplex.py:286-328): scans the whole tableau per
 # pivot — same O(m n) cost class as the pivot itself, opt-in
@@ -114,6 +119,14 @@ class SolverOptions:
     # dual simplex: basic values above -feas_tol count as primal feasible
     # (termination test of tpulp.solve.dual)
     feas_tol: float = 1e-9
+    # min-ratio tie resolution (non-Bland pricing only): TIE_FIRST picks the
+    # first tie row (reference-compatible walks); TIE_MAXPIV picks the tie
+    # row with the LARGEST pivot element — the partial-pivoting flavor that
+    # bounds tableau element growth over deep float walks (every production
+    # float simplex stabilizes the ratio test this way; the exact-rational
+    # reference never needed to). Used by the refreshed/stabilized drivers
+    # (tpulp.solve.refresh).
+    tie_break: int = 0
 
     def resolved_stall_limit(self, m: int, n: int) -> int:
         return self.stall_limit if self.stall_limit > 0 else m + n

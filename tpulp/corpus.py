@@ -329,6 +329,106 @@ def _infeasible_gap() -> LinProg:
     return lp
 
 
+def _ill_scaled_1e8() -> LinProg:
+    """Coefficients spanning 1e-8..1e8 (round 5, VERDICT r4 item 7): the
+    class the equilibration pass (tpulp.model.equilibrate) exists for —
+    without scaling, f32 AND f64 iterates see pivot elements below
+    piv_tol everywhere and the walk collapses; with the default
+    ``scale='auto'`` the device solves it directly."""
+    lp = LinProg("ill_scaled_1e8")
+    lp.addVar("u")
+    lp.addVar("v")
+    lp.addVar("w")
+    lp.addVar("t")
+    B = 10**8
+    lp.minimize(LinExpr(B, "u", F(1, B), "v", 1, "w", F(1, 10000), "t"))
+    lp.addConstraint(
+        LinExpr(F(1, B), "u", B, "v", 1, "w").constraintGeq(1))
+    lp.addConstraint(
+        LinExpr(1, "u", 1, "v", F(1, 10000), "w", B, "t").constraintGeq(3))
+    lp.addConstraint(
+        LinExpr(F(1, 100), "u", 10000, "w").constraintLeq(B))
+    lp.addConstraint(LinExpr(1, "t").constraintLeq(F(1, 10000)))
+    return lp
+
+
+def _near_parallel_rows() -> LinProg:
+    """Nearly-parallel constraint rows (angle ~1e-6): the basis matrix is
+    almost singular, so float pivots amplify roundoff ~1e6x per
+    elimination — the conditioning hazard equilibration CANNOT fix (it is
+    angular, not magnitudinal); the certificate + ladder must carry it."""
+    lp = LinProg("near_parallel_rows")
+    e = F(1, 10**6)
+    for v in ("x", "y", "z"):
+        lp.addVar(v)
+    # the optimal vertex is the intersection of the three nearly-parallel
+    # planes: its basis matrix has determinant O(e^2), so the exact vertex
+    # coordinates are determined entirely by the 1e-6 perturbations
+    lp.maximize(LinExpr(3, "x", 3 + e, "y", 3, "z"))
+    lp.addConstraint(LinExpr(1, "x", 1, "y", 1, "z").constraintLeq(10))
+    lp.addConstraint(
+        LinExpr(1, "x", 1 + e, "y", 1, "z").constraintLeq(10 + 5 * e))
+    lp.addConstraint(
+        LinExpr(1 - e, "x", 1, "y", 1 + e, "z").constraintLeq(10 + 3 * e))
+    return lp
+
+
+def _beale_scaled() -> LinProg:
+    """Beale's cycling LP under a wild per-variable rescaling
+    (x_j -> 10^{k_j} x_j', k in {-6..6}): the Dantzig cycle at the origin
+    AND an ill-scaled tableau at once. The optimum is invariant under
+    variable rescaling: still -1/20."""
+    lp = LinProg("beale_scaled")
+    for v in ("x1", "x2", "x3", "x4"):
+        lp.addVar(v)
+    s1, s2, s3, s4 = F(10**6), F(1, 10**6), F(10**4), F(1, 100)
+    lp.minimize(LinExpr(F(-3, 4) * s1, "x1", 150 * s2, "x2",
+                        F(-1, 50) * s3, "x3", 6 * s4, "x4"))
+    lp.addConstraint(
+        LinExpr(F(1, 4) * s1, "x1", -60 * s2, "x2", F(-1, 25) * s3, "x3",
+                9 * s4, "x4").constraintLeq(0))
+    lp.addConstraint(
+        LinExpr(F(1, 2) * s1, "x1", -90 * s2, "x2", F(-1, 50) * s3, "x3",
+                3 * s4, "x4").constraintLeq(0))
+    lp.addConstraint(LinExpr(s3, "x3").constraintLeq(1))
+    return lp
+
+
+def _hidden_ray(m: int, n: int, seed: int, name: str) -> Callable[[], LinProg]:
+    """Unbounded equality LP whose ray is a strictly POSITIVE null
+    direction: no single column certifies unboundedness, so pricing must
+    WALK to a frame that exposes it (the measured round-4 devex failure
+    class — tpulp.solve.devex module doc). Integer data, exact by
+    construction: d = all-ones is in the null space and c.d < 0."""
+    rng = np.random.default_rng(seed)
+
+    def build() -> LinProg:
+        lp = LinProg(name)
+        xs = [lp.addVar(f"x{j}").x for j in range(n)]
+        # rows with zero row-sum: A @ ones = 0
+        rows = rng.integers(-5, 6, size=(m, n))
+        rows[:, -1] -= rows.sum(axis=1)
+        x0 = rng.integers(0, 4, size=n)
+        b = rows @ x0
+        cvec = rng.integers(-4, 5, size=n)
+        if cvec.sum() >= 0:
+            cvec[int(rng.integers(0, n))] -= int(cvec.sum()) + 1
+        obj = LinExpr()
+        for j in range(n):
+            if cvec[j]:
+                obj += LinExpr(int(cvec[j]), xs[j])
+        lp.minimize(obj)
+        for i in range(m):
+            e = LinExpr()
+            for j in range(n):
+                if rows[i, j]:
+                    e += LinExpr(int(rows[i, j]), xs[j])
+            lp.addConstraint(e.constraintEq(int(b[i])))
+        return lp
+
+    return build
+
+
 def _unbounded_ray() -> LinProg:
     lp = LinProg("unbounded_ray")
     lp.addVar("x")
@@ -381,6 +481,16 @@ def _build_cases() -> List[CorpusCase]:
                    status="infeasible", size_hint=3),
         CorpusCase("unbounded_ray", _unbounded_ray, None,
                    status="unbounded", size_hint=2),
+        # adversarial families (round 5, VERDICT r4 item 7)
+        CorpusCase("ill_scaled_1e8", _ill_scaled_1e8,
+                   F(300009999, 10**20), oracle="host", size_hint=4),
+        CorpusCase("near_parallel_rows", _near_parallel_rows,
+                   F(6000001, 200000), oracle="host", size_hint=3),
+        CorpusCase("beale_scaled", _beale_scaled, F(-1, 20),
+                   oracle="host", size_hint=3),
+        CorpusCase("hidden_ray_24",
+                   _hidden_ray(24, 36, seed=5, name="hidden_ray_24"),
+                   None, status="unbounded", size_hint=24),
     ]
     cases.extend(_mps_file_cases())
     cases.extend(_netlib_file_cases())

@@ -313,7 +313,11 @@ def solve_milp(
 
     if node_encoding == "spans":
         # bound-vector node encoding over the batched bounded driver
-        # (tpulp.milp.spans): no bound rows in any node tableau; cold waves
+        # (tpulp.milp.spans): no bound rows in any node tableau; cold waves.
+        # EXPERIMENTAL: measured ~58x slower than 'rows' on the set-cover
+        # bench (BENCH.md spans post-mortem) — its win condition (a
+        # bounded-state dual simplex + device node templates) is analyzed
+        # but not built. Kept as a documented mode, not a recommendation.
         if checkpoint_path is not None or resume_from is not None:
             raise ValueError("node_encoding='spans' does not support "
                              "checkpoint/resume yet; use 'rows'")

@@ -140,9 +140,18 @@ def solve_standard_form(
     pricing: str = "default",
     driver: str = "auto",
     block: int = 64,
+    scale: str = "auto",
     _depth: int = 0,
 ) -> Solution:
     """Solve a lowered StandardForm on the device path.
+
+    ``scale`` controls geometric-mean power-of-two equilibration of the
+    DEVICE data (``tpulp.model.equilibrate``): ``'auto'`` (default)
+    applies it when the computed scaling is material (any factor >= 8x),
+    ``'force'`` always, ``'none'`` never. Scaling is exact in binary float
+    and invisible to the exactness contract: refinement, certificates, and
+    duals always run against the ORIGINAL data (the optimal basis is
+    scaling-invariant).
 
     ``pricing='devex'`` uses the devex-weighted driver
     (``tpulp.solve.devex``) — typically far fewer pivots on hard
@@ -181,7 +190,26 @@ def solve_standard_form(
         options = SolverOptions.for_dtype(dtype)
     if sf.trivially_infeasible:
         return Solution(status="infeasible")
-    state = state_from_standard_form(sf, dtype=dtype)
+    # ---- equilibration: the DEVICE sees scaled data, everything exact
+    # (refine/certificates/duals) sees the original ----------------------
+    c_d, A_d, b_d = sf.to_dense(np.float64)
+    upper_dev = sf.upper
+    col_scale = None  # x_original = col_scale * x_device
+    if scale in ("auto", "force"):
+        from ..model.equilibrate import (equilibration_powers_dense,
+                                         is_material_scaling, scaled_dense)
+
+        rp, cp = equilibration_powers_dense(A_d, basis_hint=sf.basis_hint)
+        if scale == "force" or is_material_scaling(rp, cp):
+            c_d, A_d, b_d = scaled_dense(c_d, A_d, b_d, rp, cp)
+            col_scale = np.ldexp(1.0, cp.astype(np.int32))
+            if sf.upper is not None:
+                upper_dev = [
+                    None if u is None else float(u) / col_scale[j]
+                    for j, u in enumerate(sf.upper)]
+    elif scale != "none":
+        raise ValueError(f"unknown scale {scale!r}")
+    state = make_state(c_d, A_d, b_d, sf.basis_hint, dtype=dtype)
     bounded = sf.upper is not None and any(
         u is not None for u in sf.upper)
     if pricing == "default" and not bounded and (
@@ -210,7 +238,7 @@ def solve_standard_form(
         from .bounded import make_bounded_state
 
         sb = to_sharded_bounded_state(
-            make_bounded_state(state, sf.upper), mesh, axis=shard_axis)
+            make_bounded_state(state, upper_dev), mesh, axis=shard_axis)
         osb = run_simplex_sharded_bounded(sb, mesh, options,
                                           axis=shard_axis)
         bout = from_sharded_bounded_state(osb, state.n)
@@ -222,7 +250,7 @@ def solve_standard_form(
         from .bounded import make_bounded_state, run_simplex_bounded
 
         bout = run_simplex_bounded(
-            make_bounded_state(state, sf.upper), options)
+            make_bounded_state(state, upper_dev), options)
         out = bout.s
         at_upper_np = np.asarray(bout.at_upper)
     elif mesh is not None:
@@ -285,6 +313,24 @@ def solve_standard_form(
                 if pricing == "devex" else options
             out = run_simplex_blocked_pallas(state, opts_eng,
                                              block=max(block, 128))
+        elif eng == "refreshed":
+            # periodic-refactorization driver (tpulp.solve.refresh): the
+            # depth-robust rung — segments of device pivots with the
+            # tableau rebuilt from original data between segments, and a
+            # growth-bounding ratio tie-break. Reached automatically by
+            # the precision ladder; selectable directly for hard deep
+            # instances.
+            from ..core.state import RULE_DEVEX
+            from .refresh import run_simplex_refreshed
+
+            opts_eng = dataclasses.replace(options, rule=RULE_DEVEX) \
+                if pricing == "devex" else options
+            elems = (state.m + 2) * (state.n + 1)
+            ref_engine = "blocked" if (
+                pricing == "devex" or elems >= 200_000) else "rank1"
+            out = run_simplex_refreshed(
+                c_d, A_d, b_d, sf.basis_hint, opts_eng, dtype=dtype,
+                engine=ref_engine, block=block)
         else:
             raise ValueError(f"unknown driver {driver!r}")
     status_code = int(out.status)
@@ -295,14 +341,34 @@ def solve_standard_form(
         if fallback == "none" or _depth >= 2:
             return Solution(status="numerical_error", niter=niter)
         have_f64 = canonical_dtype(jnp.float64) == jnp.dtype(np.float64)
+        if _depth == 0 and not bounded and mesh is None:
+            # rung 1: the refreshed + stabilized driver at the highest
+            # device precision available — periodic refactorization from
+            # original data repairs the drift that produced the failure
+            # (the measured 512-row f64 false-infeasible cliff lives here,
+            # BENCH.md scale probe), so most escalations never reach the
+            # academic-speed exact host rung.
+            dt = jnp.float64 if have_f64 else jnp.float32
+            opts1 = SolverOptions.for_dtype(
+                dt, rule=options.rule, max_iters=options.max_iters,
+                degen_tol=options.degen_tol, stall_limit=options.stall_limit)
+            return solve_standard_form(
+                sf, options=opts1, dtype=dt, refine=refine,
+                fallback=fallback, duals=duals, pricing=pricing,
+                driver="refreshed", block=block, scale=scale, _depth=1)
         if (_depth == 0 and have_f64
                 and state.T.dtype != jnp.dtype(np.float64)):
+            # bounded/sharded shapes have no refreshed rung (the refresh
+            # driver is tableau-form): retry the same engine at f64
             opts64 = SolverOptions.for_dtype(
                 jnp.float64, rule=options.rule, max_iters=options.max_iters,
                 degen_tol=options.degen_tol, stall_limit=options.stall_limit)
             return solve_standard_form(
                 sf, options=opts64, dtype=jnp.float64, refine=refine,
-                fallback=fallback, duals=duals, _depth=1)
+                fallback=fallback, duals=duals, mesh=mesh,
+                shard_axis=shard_axis, shard_driver=shard_driver,
+                shard_block=shard_block, pricing=pricing,
+                scale=scale, _depth=1)
         out_host = solve_standard_form_host(sf)
         if duals and out_host.status == "optimal":
             from .refine import basis_duals
@@ -313,14 +379,18 @@ def solve_standard_form(
 
     if status == "numerical_error":
         return _escalate()
-    is_f32 = state.T.dtype == jnp.dtype(np.float32)
     if status != "optimal":
-        # A low-precision infeasible/unbounded verdict is tolerance-driven
-        # and can be FALSE (measured on TPU: f32 phase-1 roundoff pushed the
-        # artificial optimum past infeas_tol on feasible equality-heavy
-        # corpus instances). Confirm at higher precision before reporting.
-        if (status in ("infeasible", "unbounded") and is_f32
-                and fallback != "none" and _depth < 2):
+        # A float infeasible/unbounded verdict is tolerance-driven and can
+        # be FALSE (measured on TPU: phase-1 roundoff pushed the artificial
+        # optimum past infeas_tol on feasible equality-heavy instances — at
+        # f32 on the corpus, and at f64 on dense 512-row systems). Confirm
+        # before reporting: depth 0 re-derives on the refreshed driver
+        # (fresh refactorization); a refreshed-driver verdict (depth 1) was
+        # already re-derived from freshly factorized data and is confirmed
+        # exactly only where the host rung is affordable (small m).
+        if (status in ("infeasible", "unbounded")
+                and fallback != "none" and _depth < 2
+                and (_depth == 0 or sf.m <= 192)):
             return _escalate()
         return Solution(status=status, niter=niter)
 
@@ -333,6 +403,9 @@ def solve_standard_form(
         else:
             x_dev, z_dev = extract_solution(out)
         x_np = np.asarray(x_dev)
+        if col_scale is not None:
+            # device values are in scaled coordinates: x = S x'
+            x_np = x_np * col_scale[: x_np.shape[0]]
         col_values = {j: float(x_np[j]) for j in range(sf.n) if x_np[j] != 0}
         z_min = float(z_dev) + float(sf.obj_const)
     else:
@@ -423,6 +496,7 @@ def solve_lp(
     pricing: str = "default",
     driver: str = "auto",
     block: int = 64,
+    scale: str = "auto",
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
@@ -453,7 +527,7 @@ def solve_lp(
                               mesh=mesh, shard_axis=shard_axis,
                               shard_driver=shard_driver,
                               shard_block=shard_block, pricing=pricing,
-                              driver=driver, block=block)
+                              driver=driver, block=block, scale=scale)
     if duals and is_prog and sol.y is not None:
         from .refine import original_sensitivity
 

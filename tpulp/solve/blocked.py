@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.state import (RULE_BLAND, RULE_DEVEX, SimplexState,
+from ..core.state import (RULE_BLAND, RULE_DEVEX, TIE_MAXPIV, SimplexState,
                           SolverOptions, Status)
 
 __all__ = ["run_simplex_blocked", "run_simplex_blocked_batch"]
@@ -129,7 +129,12 @@ def _blocked_pivot(carry: _BlockCarry, opts: SolverOptions,
     ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), inf)
     min_ratio = jnp.min(ratios)
     tie = ratios <= min_ratio
-    r_first = jnp.argmax(tie).astype(jnp.int32)
+    if opts.tie_break == TIE_MAXPIV:
+        # stabilized tie resolution (same contract as driver.py): largest
+        # pivot element among min-ratio ties bounds the 1/piv growth factor
+        r_first = jnp.argmax(jnp.where(tie, col, -inf)).astype(jnp.int32)
+    else:
+        r_first = jnp.argmax(tie).astype(jnp.int32)
     r_bland = jnp.argmin(
         jnp.where(tie, s.basis, jnp.int32(2**30))).astype(jnp.int32)
     r_price = jnp.where(use_bland, r_bland, r_first)
@@ -288,7 +293,13 @@ def _compiled_blocked_driver(opts: SolverOptions, stall_limit: int, K: int):
             Tf = T.astype(dtype)
             improving = s.col_active & (Tf[0, :-1] < -opts.opt_tol)
             blocked_col = jnp.any(Tf[2:, :-1] > opts.piv_tol, axis=0)
+            # gate on no basic artificials: with a zero-valued artificial
+            # still basic the tableau is a RELAXATION, and a ray through an
+            # artificial row is not a certificate for the original (r5
+            # soundness tightening; the cleanup pivots clear this in a few
+            # iterations, after which the scan arms)
             ray = (jnp.any(improving & ~blocked_col)
+                   & ~jnp.any(s.art_cols[s.basis])
                    & (s.phase == 2) & (s.status == Status.RUNNING))
             s = s._replace(status=jnp.where(
                 ray, jnp.int32(Status.UNBOUNDED), s.status))

@@ -32,6 +32,7 @@ from jax import lax
 from ..core.state import (
     RULE_BLAND,
     RULE_MAX_INCREASE,
+    TIE_MAXPIV,
     SimplexState,
     SolverOptions,
     Status,
@@ -167,7 +168,13 @@ def simplex_step(state: SimplexState, opts: SolverOptions,
     ratios = jnp.where(pos, b / jnp.where(pos, col, 1.0), inf)
     min_ratio = jnp.min(ratios)
     tie = ratios <= min_ratio
-    r_first = jnp.argmax(tie).astype(jnp.int32)
+    if opts.tie_break == TIE_MAXPIV:
+        # stabilized tie resolution: among min-ratio rows take the LARGEST
+        # pivot element (partial-pivoting flavor — bounds the 1/piv growth
+        # factor on deep float walks; see SolverOptions.tie_break)
+        r_first = jnp.argmax(jnp.where(tie, col, -inf)).astype(jnp.int32)
+    else:
+        r_first = jnp.argmax(tie).astype(jnp.int32)
     r_bland = jnp.argmin(
         jnp.where(tie, state.basis, jnp.int32(2**30))).astype(jnp.int32)
     r_price = jnp.where(use_bland, r_bland, r_first)
