@@ -359,6 +359,15 @@ def _previous_round_capture():
             if isinstance(data, dict) and "value" in data:
                 return {"file": os.path.basename(path),
                         "value": data["value"]}
+            # driver format: {"n", "cmd", "rc", "tail"} with the JSON line
+            # embedded in the tail
+            if isinstance(data, dict) and "tail" in data:
+                for line in reversed(str(data["tail"]).splitlines()):
+                    line = line.strip()
+                    if line.startswith("{") and '"value"' in line:
+                        inner = json.loads(line)
+                        return {"file": os.path.basename(path),
+                                "value": inner.get("value")}
         except (OSError, json.JSONDecodeError):
             continue
     return None

@@ -146,7 +146,12 @@ def batch_state_sharding(mesh: Mesh, batch_axis: str = "batch",
                          cols_axis: str = "cols") -> SimplexState:
     """NamedShardings for a BATCHED state on a 2D (batch, cols) mesh — the
     LP domain's (dp, tp) layout: independent problems split over the batch
-    axis, each problem's tableau columns split over the cols axis."""
+    axis, each problem's tableau columns split over the cols axis. A 1D
+    mesh with only the batch axis (batch-outermost, SCALING.md §3.3's
+    scalable cross-host dimension) leaves the columns unsharded."""
+    if cols_axis not in mesh.axis_names:
+        cols_axis = None
+
     def ns(*spec):
         return NamedSharding(mesh, P(*spec))
 
