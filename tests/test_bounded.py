@@ -338,3 +338,83 @@ class TestMeshComposesWithSimpleBounds:
         assert sol.status == "optimal" and sol.objective == 14
         ref = solve_lp(lp, simple_bounds=True)
         assert sol.objective == ref.objective
+
+
+class TestBoundedDevex:
+    """pricing='devex' on the bounded-variable driver (round 5, VERDICT r4
+    item 6): previously SILENTLY dropped — now the solo bounded driver
+    carries devex weights (flips leave the frame untouched, see the weight
+    rule in tpulp.solve.bounded) and the sharded bounded driver rejects
+    loudly."""
+
+    def _box_lp(self, seed, nv=8, mc=5):
+        rng = np.random.default_rng(seed)
+        lp = LinProg()
+        obj = LinExpr()
+        for jv in range(nv):
+            lp.addVar(f"v{jv}", lb=0, ub=int(rng.integers(1, 9)))
+            obj += LinExpr(int(rng.integers(-9, 10)), f"v{jv}")
+        lp.maximize(obj)
+        for i in range(mc):
+            e = LinExpr()
+            for jv in range(nv):
+                e += LinExpr(int(rng.integers(-3, 6)), f"v{jv}")
+            lp.addConstraint(e.constraintLeq(int(rng.integers(5, 30))))
+        return lp
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+    def test_bounded_devex_oracle_parity(self, seed):
+        """Devex walks on the bounded driver land the EXACT row-lowering
+        oracle objective (the certificate pipeline pins the basis)."""
+        lp = self._box_lp(seed)
+        oracle = solve_lp(lp.lower())                      # row-based oracle
+        dv = solve_lp(lp.lower(simple_bounds=True), pricing="devex")
+        dz = solve_lp(lp.lower(simple_bounds=True), pricing="dantzig")
+        assert dv.status == dz.status == oracle.status, seed
+        if oracle.status == "optimal":
+            assert dv.objective == oracle.objective, seed
+            assert dz.objective == oracle.objective, seed
+
+    def test_bounded_devex_uses_devex_rule(self):
+        """The devex request actually reaches the driver: the two pricing
+        rules walk differently on an instance built to separate them (if
+        devex were silently dropped the walks would be identical)."""
+        found_diff = False
+        for seed in range(12):
+            lp = self._box_lp(seed, nv=10, mc=7)
+            dv = solve_lp(lp.lower(simple_bounds=True), pricing="devex")
+            dz = solve_lp(lp.lower(simple_bounds=True), pricing="dantzig")
+            if dv.status == dz.status == "optimal" and dv.niter != dz.niter:
+                found_diff = True
+                break
+        assert found_diff, "devex and dantzig walked identically on every " \
+                           "seed — pricing is being dropped"
+
+    def test_sharded_bounded_devex_raises(self):
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("cols",))
+        lp = self._box_lp(0)
+        with pytest.raises(ValueError, match="devex"):
+            solve_lp(lp.lower(simple_bounds=True), mesh=mesh,
+                     pricing="devex")
+
+    def test_bounded_devex_flip_heavy(self):
+        """An instance where the optimum is all-at-upper (pure flips): the
+        devex path must handle rank-0 iterations (no weight motion)."""
+        lp = LinProg()
+        for jv in range(6):
+            lp.addVar(f"v{jv}", lb=0, ub=2)
+        obj = LinExpr()
+        for jv in range(6):
+            obj += LinExpr(1, f"v{jv}")
+        lp.maximize(obj)
+        e = LinExpr()
+        for jv in range(6):
+            e += LinExpr(1, f"v{jv}")
+        lp.addConstraint(e.constraintLeq(100))   # never binding
+        sol = solve_lp(lp.lower(simple_bounds=True), pricing="devex")
+        assert sol.status == "optimal"
+        assert sol.objective == 12
+        assert all(v == 2 for v in sol.x.values())

