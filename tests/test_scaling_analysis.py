@@ -13,11 +13,14 @@ def test_blocked_one_fused_psum(p):
     mesh = make_mesh(p)
     summary = assert_fused_psum(mesh, m=6, n=10, block=8)
     assert summary["n_fused"] == 1
-    assert summary["fused_psum_elems"] == 6 + 2 + 8
-    # total wire bytes = fused vector + m-elem cleanup scan + 3 scalar
-    # per-pivot reductions + the PER-BLOCK ray-scan psum-any (round 4)
-    # + 2 pricing gathers (p elements each on a p-device mesh)
-    assert summary["total_collective_bytes"] <= 4 * (16 + 6 + 4 + 2 * p)
+    # round 5: the fused psum carries the artificial-flag lane too
+    assert summary["fused_psum_elems"] == 6 + 2 + 8 + 1
+    assert summary["dependent_rounds_per_pivot"] == 2
+    # total STATIC wire bytes = fused vector (17) + 2 per-block m-elem
+    # art_basic seeds (2*6 i32) + 2 scalar per-pivot pmins + the per-block
+    # (ray, guard) 2-elem psum + 2 pricing gathers (p elements each)
+    assert summary["total_collective_bytes"] <= 4 * (17 + 12 + 2 + 2
+                                                     + 2 * p)
 
 
 def test_rank1_has_two_column_psums():
@@ -42,9 +45,9 @@ def test_devex_adds_one_lane_not_one_collective():
     ops_d, _ = collective_profile(mesh, m=6, n=10, block=8, driver="blocked")
     ops_x, _ = collective_profile(mesh, m=6, n=10, block=8,
                                   driver="blocked", rule=RULE_DEVEX)
-    # fused vector is one element wider (m+2+K+1)
-    assert any(o[1] == "16xf32" for o in ops_d if o[0] == "all_reduce")
-    assert any(o[1] == "17xf32" for o in ops_x if o[0] == "all_reduce")
+    # fused vector is one element wider (m+2+K+1+1: art lane + gamma lane)
+    assert any(o[1] == "17xf32" for o in ops_d if o[0] == "all_reduce")
+    assert any(o[1] == "18xf32" for o in ops_x if o[0] == "all_reduce")
     n_scalar_d = sum(1 for o in ops_d if o[0] == "all_reduce"
                      and "x" not in o[1])
     n_scalar_x = sum(1 for o in ops_x if o[0] == "all_reduce"

@@ -102,29 +102,45 @@ def assert_fused_psum(mesh, m=6, n=10, block=8) -> Dict[str, object]:
     """Verify the sharded-blocked communication structure in compiled HLO:
 
     * the entering-column fetch is ONE fused all-reduce carrying the
-      (m+2) tableau slice AND the K eta lanes together — i.e. an f32
-      all-reduce of m+2+K elements exists, and NO separate (m+2)-element
-      f32 all-reduce does (which would mean the fusion regressed);
-    * every other collective is scalar-sized (pricing/cleanup/guard
-      reductions), so per-pivot traffic is m+2+K+O(1) elements total.
+      (m+2) tableau slice, the K eta lanes, AND the artificial-flag lane
+      together (m+2+K+1 f32 elements, round 5) — and NO separate
+      (m+2)-element f32 all-reduce exists (which would mean the fusion
+      regressed);
+    * the per-pivot body carries NO m-element i32 cleanup-scan psum any
+      more (VERDICT r4 item 4): every m-element i32 all-reduce in the
+      module is a per-K-block ``art_basic`` seed, bounded by the number
+      of ``fresh_carry`` call sites (2: init + flush), and the boundary
+      ray+guard reduction is one 2-element i32 psum;
+    * every other collective is scalar-sized (pricing reductions), so the
+      DEPENDENT collective rounds per pivot are 2: the mutually
+      independent pricing gathers/pmins, then the fused column fetch.
 
     Returns a summary dict for dryrun/bench artifacts; raises AssertionError
     with the op table when the structure regressed."""
     ops, total = collective_profile(mesh, m=m, n=n, block=block,
                                     driver="blocked")
-    fused_elems = (m + 2) + block
+    fused_elems = (m + 2) + block + 1
     fused = [o for o in ops if o[0] == "all_reduce"
              and o[1] == f"{fused_elems}xf32"]
     unfused = [o for o in ops if o[0] == "all_reduce"
                and o[1] == f"{m + 2}xf32"]
+    per_block_seeds = [o for o in ops if o[0] == "all_reduce"
+                       and o[1] == f"{m}xi32"]
+    boundary = [o for o in ops if o[0] == "all_reduce" and o[1] == "2xi32"]
     big = [o for o in ops
            if o[2] > 4 * fused_elems and o not in fused]
-    assert fused, f"fused (m+2+K) psum missing; collectives: {ops}"
+    assert fused, f"fused (m+2+K+1) psum missing; collectives: {ops}"
     assert not unfused, f"UNFUSED (m+2) column psum present: {ops}"
     assert not big, f"unexpectedly large collectives: {big}"
+    assert len(per_block_seeds) <= 2, (
+        f"more m-elem i32 all_reduces than the two per-block art_basic "
+        f"seeds — a per-pivot cleanup scan regressed: {ops}")
+    assert len(boundary) == 1, (
+        f"expected ONE 2-elem boundary (ray, guard) psum: {ops}")
     kinds: Dict[str, int] = {}
     for op, _, _ in ops:
         kinds[op] = kinds.get(op, 0) + 1
     return {"collectives": kinds, "fused_psum_elems": fused_elems,
-            "n_fused": len(fused), "total_collective_bytes": total,
+            "n_fused": len(fused), "dependent_rounds_per_pivot": 2,
+            "total_collective_bytes": total,
             "ops": [(o, s) for o, s, _ in ops]}

@@ -11,11 +11,22 @@ the tableau is touched once per K pivots:
   (K, m+2) are replicated (they live on the row axis), the pivot-row slices
   ``Vl`` (K, n/P) are column-sharded, and the pivot rows' RHS entries ``vr``
   (K,) are replicated (they update the replicated RHS column).
-* per pivot, communication is ONE fused psum of an (m+2+K)-vector — the
-  owner shard contributes the entering column's stale-tableau slice AND its
-  eta-column ``Vl[:, j_local]`` in the same reduction — plus the same tiny
-  pricing all_gather / pmin as the rank-1 sharded driver. The rank-1 driver
-  already paid the (m+2) psum; the eta scheme adds only K lanes to it.
+* per pivot, communication is ONE fused psum of an (m+2+K+1)-vector — the
+  owner shard contributes the entering column's stale-tableau slice, its
+  eta-column ``Vl[:, j_local]``, AND the column's artificial flag in the
+  same reduction — plus the same tiny pricing all_gather / pmin as the
+  rank-1 sharded driver. The rank-1 driver already paid the (m+2) psum;
+  the eta scheme adds only K+1 lanes to it.
+* round 5 (VERDICT r4 item 4) cut the dependent collective rounds per
+  pivot from 4 to 2: the former per-pivot m-elem cleanup-scan psum became
+  a REPLICATED ``art_basic`` vector seeded once per K-block and updated
+  exactly per pivot from the fused psum's artificial-flag lane (zero
+  staleness), and the sharded non-finite guard moved to the flush
+  boundary, riding the ray scan's scalar psum (a bogus mid-block terminal
+  status is corrected at the boundary before the loop can exit). What
+  remains per pivot: the pricing gathers/pmins (one latency round, they
+  are mutually independent) and the fused column fetch that depends on
+  them.
 * the flush is purely local: ``T_local += U^T Vl`` (a rank-K MXU update of
   each shard's block) and ``rhs += U^T vr``, once per K pivots.
 
@@ -63,26 +74,45 @@ class _ShardedBlockCarry(NamedTuple):
     row1: jax.Array      # (n_local,) current phase-1 objective row slice
     bvec: jax.Array      # (m+2,) current RHS column, replicated
     gamma: jax.Array     # (n_local,) sharded devex weights (ones unless devex)
+    # (m,) bool, REPLICATED: whether each basis column is artificial.
+    # Round 5 (VERDICT r4 item 4): maintaining this incrementally — seeded
+    # by one psum per K-block, updated per pivot from the entering column's
+    # artificial flag riding the fused psum as one extra lane — deletes the
+    # per-pivot m-elem i32 cleanup-scan psum with ZERO staleness.
+    art_basic: jax.Array
 
 
-def _fetch_col_and_eta(T_local, Vl, j, axis: str, gamma=None):
+def _fetch_col_and_eta(T_local, Vl, j, axis: str, art_cols=None, gamma=None):
     """Entering column (stale tableau slice) AND its eta column in ONE psum:
     owner shard contributes the concatenated (m+2+K)-vector, psum broadcasts.
-    Under devex the owner's weight gamma_j rides the same reduction as one
-    extra lane (m+2+K+1) — no additional collective."""
+    The owner's artificial flag for column j rides the same reduction as one
+    extra lane (the incremental cleanup-scan input, round 5), and under
+    devex the owner's weight gamma_j adds one more — never an additional
+    collective."""
     n_local = T_local.shape[1]
     K = Vl.shape[0]
     ax = lax.axis_index(axis)
     owner = (j // n_local) == ax
     j_local = j % n_local
     parts = [T_local[:, j_local], Vl[:, j_local]]
+    n_extra = 0
+    if art_cols is not None:
+        parts.append(art_cols[j_local].astype(T_local.dtype)[None])
+        n_extra += 1
     if gamma is not None:
         parts.append(gamma[j_local][None])
+        n_extra += 1
     contrib = jnp.where(owner, jnp.concatenate(parts), 0.0)
     out = lax.psum(contrib, axis)
     nrows = T_local.shape[0]
-    gamma_j = out[nrows + K] if gamma is not None else None
-    return out[:nrows], out[nrows:nrows + K], owner, j_local, gamma_j
+    pos = nrows + K
+    enter_art = None
+    if art_cols is not None:
+        enter_art = out[pos] > 0.5
+        pos += 1
+    gamma_j = out[pos] if gamma is not None else None
+    return out[:nrows], out[nrows:nrows + K], owner, j_local, enter_art, \
+        gamma_j
 
 
 def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
@@ -100,10 +130,9 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     BIG = jnp.int32(2**30)
 
     # ---- cleanup scan: basic artificials left from phase 1 -----------------
-    owner_b = (s.basis // n_local) == ax
-    art_at_basis = s.art_cols[s.basis % n_local]
-    art_basic = lax.psum(
-        jnp.where(owner_b, art_at_basis.astype(jnp.int32), 0), axis) > 0
+    # round 5 (VERDICT r4 item 4): carry.art_basic is the replicated,
+    # incrementally-exact artificial-basis vector — no per-pivot psum here
+    art_basic = carry.art_basic
     cleanup = jnp.any(art_basic) & in_phase2 & running
     r_d = jnp.argmax(art_basic).astype(jnp.int32)
     # the cleanup row's local slice is reconstructed only when needed
@@ -167,8 +196,9 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
 
     # ---- entering column reconstruction + replicated ratio test -------------
     j = jnp.where(cleanup, j_d, j_price)
-    tcol, vj, owner, j_local, gamma_j = _fetch_col_and_eta(
-        s.T, carry.Vl, j, axis, gamma=carry.gamma if use_devex else None)
+    tcol, vj, owner, j_local, enter_art, gamma_j = _fetch_col_and_eta(
+        s.T, carry.Vl, j, axis, art_cols=s.art_cols,
+        gamma=carry.gamma if use_devex else None)
     colj = tcol + jnp.einsum('k,km->m', vj, carry.U,
                              precision=lax.Precision.HIGHEST)
     col = colj[2:]
@@ -214,6 +244,12 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     bvec = carry.bvec + w * vrow_rhs
 
     basis = jnp.where(act, s.basis.at[r].set(j), s.basis)
+    # incremental replicated cleanup-scan state: retirement clears its row;
+    # a pivot installs the entering column's artificial flag (the fused-psum
+    # lane) at row r — exact, no staleness
+    art_basic_n = jnp.where(retire, art_basic.at[r_d].set(False), art_basic)
+    art_basic_n = jnp.where(act, art_basic_n.at[r].set(enter_art),
+                            art_basic_n)
 
     # ---- devex weight update (post-pivot row r = vrow / piv, local slice) ----
     if use_devex:
@@ -252,13 +288,15 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     last_z = jnp.where(to_phase2, inf, last_z)
 
     finished_opt = in_phase2 & ~has_improving & ~cleanup & running
-    # Non-finite guard (same contract as solve/driver.py): psum so every shard
-    # sees non-finiteness anywhere in the sharded maintained pricing row
+    # Non-finite guard, REPLICATED quantities only (round 5, VERDICT r4
+    # item 4): z and the RHS are replicated, so checking them costs no
+    # collective. The sharded pricing-row check moved to the flush
+    # boundary (one scalar psum per K pivots) — a mid-block blowup that
+    # slips a bogus terminal status is corrected there before the loop
+    # can exit (the boundary guard runs inside the same while-loop body).
     finite_ok = (
         jnp.isfinite(z)
         & jnp.isfinite(jnp.sum(jnp.abs(bvec[2:])))
-        & jnp.isfinite(lax.psum(
-            jnp.sum(jnp.where(s.col_active, jnp.abs(crow), 0.0)), axis))
     )
     new_status = jnp.where(
         ~finite_ok, jnp.int32(Status.NUMERIC),
@@ -284,7 +322,8 @@ def _sharded_blocked_pivot(carry: _ShardedBlockCarry, opts: SolverOptions,
     )
     return _ShardedBlockCarry(
         s=s, U=U, Vl=Vl, vr=vr, t=carry.t + act.astype(jnp.int32),
-        row0=row0, row1=row1, bvec=bvec, gamma=gamma)
+        row0=row0, row1=row1, bvec=bvec, gamma=gamma,
+        art_basic=art_basic_n)
 
 
 @functools.lru_cache(maxsize=16)
@@ -312,6 +351,15 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
         dtype = sh.T.dtype
 
         def fresh_carry(s: ShardedState, gamma=None) -> _ShardedBlockCarry:
+            # seed the replicated artificial-basis vector: ONE m-elem psum
+            # per K-block (amortized Kx vs the former per-pivot scan); the
+            # per-pivot updates keep it exact between flushes
+            ax = lax.axis_index(axis)
+            owner_b = (s.basis // n_local) == ax
+            art_basic = lax.psum(
+                jnp.where(owner_b,
+                          s.art_cols[s.basis % n_local].astype(jnp.int32),
+                          0), axis) > 0
             return _ShardedBlockCarry(
                 s=s,
                 U=jnp.zeros((K, M), dtype=dtype),
@@ -322,6 +370,7 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
                 row1=s.T[1, :],
                 bvec=s.rhs,
                 gamma=jnp.ones((n_local,), dtype) if gamma is None else gamma,
+                art_basic=art_basic,
             )
 
         def outer_cond(carry):
@@ -349,10 +398,22 @@ def _sharded_blocked_driver(opts: SolverOptions, stall_limit: int,
             improving = s.col_active & (T[0, :] < -opts.opt_tol)
             blocked_col = jnp.any(T[2:, :] > opts.piv_tol, axis=0)
             ray_local = jnp.any(improving & ~blocked_col)
-            ray = (lax.psum(ray_local.astype(jnp.int32), axis) > 0) \
+            # boundary guard rides the SAME scalar psum as the ray scan
+            # (round 5, VERDICT r4 item 4): the per-pivot sharded
+            # pricing-row finiteness check moved here — pack (ray, bad)
+            # into one i32 so fusing them costs no extra collective
+            bad_local = ~jnp.isfinite(
+                jnp.sum(jnp.where(s.col_active, jnp.abs(T[0, :]), 0.0)))
+            packed = lax.psum(
+                jnp.stack([ray_local.astype(jnp.int32),
+                           bad_local.astype(jnp.int32)]), axis)
+            no_art = ~jnp.any(carry.art_basic)
+            ray = (packed[0] > 0) & no_art \
                 & (s.phase == 2) & (s.status == Status.RUNNING)
+            bad = packed[1] > 0
             s = s._replace(status=jnp.where(
-                ray, jnp.int32(Status.UNBOUNDED), s.status))
+                bad, jnp.int32(Status.NUMERIC),
+                jnp.where(ray, jnp.int32(Status.UNBOUNDED), s.status)))
             # devex weights persist across the flush boundary
             return fresh_carry(s, carry.gamma)
 
