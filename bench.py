@@ -620,9 +620,11 @@ def run_bench_milp(n_items=28, batch_size=128, dtype_name="float32",
     lp.addConstraint(wexpr.constraintLeq(cap))
 
     dtype = {"float32": jnp.float32, "float64": jnp.float64}[dtype_name]
-    # warm: compile BOTH wave executables — the cold two-phase driver (root
-    # wave) and the dual-simplex warm-carry driver (every later wave)
-    solve_milp(lp, dtype=dtype, batch_size=batch_size, max_nodes=3)
+    # warm: one full untimed solve compiles EVERY wave executable — cold
+    # two-phase, dual-simplex warm wave, AND the r5 device-generation
+    # expansion chain (max_nodes=3 no longer reaches the warm executable:
+    # the chain's first wave alone can exceed 3 nodes)
+    solve_milp(lp, dtype=dtype, batch_size=batch_size)
     t0 = time.time()
     sol, stats = solve_milp(lp, dtype=dtype, batch_size=batch_size,
                             return_stats=True)
@@ -642,7 +644,10 @@ def run_bench_milp(n_items=28, batch_size=128, dtype_name="float32",
             f"{stats.incumbent_updates} incumbents, "
             f"{stats.nodes_pruned_bound} bound-pruned, "
             f"{stats.solo_resolves} solo re-solves, "
-            f"{stats.nodes_solved / dt:.0f} nodes/s",
+            f"{stats.nodes_solved / dt:.0f} nodes/s | wave time: "
+            f"assemble {stats.t_assemble:.3f}s, device(+fetch) "
+            f"{stats.t_device:.3f}s, process {stats.t_process:.3f}s "
+            f"(verify {stats.t_verify:.3f}s)",
             file=sys.stderr,
         )
     return stats.nodes_solved / dt, stats.nodes_solved

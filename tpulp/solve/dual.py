@@ -53,6 +53,7 @@ __all__ = [
     "run_warm_batch",
     "run_warm_carry_batch",
     "run_warm_wave",
+    "run_expand_generation",
     "pool_write",
     "pack_wave_summary",
 ]
@@ -434,6 +435,130 @@ def run_warm_wave(pool_T, pool_basis, col_active, art_cols,
     return run(pool_T, pool_basis, col_active, art_cols,
                prev_T, prev_basis, jnp.asarray(ipack, jnp.int32),
                R, const, max_iters_dev)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_expand_generation(opts: SolverOptions, stall_limit: int):
+    """One DEVICE-SIDE branch-and-bound generation (round 5, VERDICT r4
+    item 5): from a solved wave's terminal states + summary, construct the
+    branched children ON DEVICE (floor/ceil bound split of each lane's
+    most-fractional variable, applied as the sparse b-rewrite the warm
+    path uses) and re-optimize them with the dual simplex — NO host round
+    trip. Chaining G of these turns G B&B generations into ONE blocking
+    device->host fetch; over the tunneled TPU (~35-70 ms per fetch,
+    measured) the fetch chain WAS the MILP scheduler's dominant cost.
+
+    Expansion predicate per parent lane: solved optimal, fractional
+    (maxdist > int_tol), active, and bound below ``corner_cut`` (the
+    host-computed prune threshold from the exact incumbent at chain
+    start — mid-chain integral lanes stop expanding but do NOT tighten
+    the cut, so pruning never depends on an unverified float incumbent).
+    Children are placed at lanes ``2*cumsum_excl(expand)``/+1; lanes past
+    the batch width are DROPPED and the host re-queues them as cold nodes
+    (the genealogy + expansion mask returned make the drop detectable).
+    """
+    from .driver import simplex_step
+
+    @jax.jit
+    def run(prev_T, prev_basis, summ_prev, active, lbmat, ubmat,
+            col_active, art_cols, le_col, le_sign, ge_col, ge_sign,
+            corner_cut, int_tol, max_iters, R, const):
+        B = prev_T.shape[0]
+        dtype = prev_T.dtype
+        corner = summ_prev[:, 0]
+        maxdist = summ_prev[:, 1]
+        bval = summ_prev[:, 2]
+        statuses = summ_prev[:, 3].astype(jnp.int32)
+        am = summ_prev[:, 5].astype(jnp.int32)
+        # expansion predicate (see docstring); corner = -z_rel, so the cut
+        # is an upper bound: expand only strictly ABOVE it
+        expand = (active & (statuses == Status.OPTIMAL)
+                  & (maxdist > int_tol) & (corner > corner_cut))
+        base = 2 * (jnp.cumsum(expand.astype(jnp.int32)) - expand)
+        lane_ids = jnp.arange(B, dtype=jnp.int32)
+        scat = jnp.where(expand, base, B)
+        parent_of = jnp.full((B,), -1, jnp.int32)
+        parent_of = parent_of.at[scat].set(lane_ids, mode="drop")
+        parent_of = parent_of.at[scat + 1].set(lane_ids, mode="drop")
+        is_up = jnp.zeros((B,), jnp.int32)
+        is_up = is_up.at[scat + 1].set(1, mode="drop")
+
+        def one(p, up):
+            valid = p >= 0
+            pp = jnp.maximum(p, 0)
+            T = prev_T[pp]
+            basis = prev_basis[pp]
+            v = am[pp]
+            f = jnp.floor(bval[pp])
+            lb_p = lbmat[pp]
+            ub_p = ubmat[pp]
+            upb = up > 0
+            delta_b = jnp.where(upb, (f + 1) - lb_p[v], f - ub_p[v])
+            col = jnp.where(upb, ge_col[v], le_col[v])
+            sgn = jnp.where(upb, ge_sign[v], le_sign[v])
+            T = T.at[:, -1].add(
+                jnp.where(valid, sgn * delta_b, 0.0) * T[:, col])
+            lb_c = jnp.where(upb, lb_p.at[v].set(f + 1), lb_p)
+            ub_c = jnp.where(upb, ub_p, ub_p.at[v].set(f))
+            st = SimplexState(
+                T=T,
+                basis=basis.astype(jnp.int32),
+                col_active=col_active,
+                art_cols=art_cols,
+                phase=jnp.asarray(2, jnp.int32),
+                status=jnp.where(valid, jnp.int32(Status.RUNNING),
+                                 jnp.int32(Status.INFEASIBLE)),
+                niter=jnp.asarray(0, jnp.int32),
+                stuck=jnp.asarray(0, jnp.int32),
+                bland=jnp.asarray(False),
+                last_z=jnp.asarray(-jnp.inf, dtype),
+            )
+
+            def cond(s):
+                return (s.status == Status.RUNNING) & (s.niter < max_iters)
+
+            st = lax.while_loop(
+                cond, lambda s: dual_simplex_step(s, opts, stall_limit), st)
+            st = st._replace(status=jnp.where(
+                st.status == Status.OPTIMAL,
+                jnp.int32(Status.RUNNING), st.status))
+            st = lax.while_loop(
+                cond, lambda s: simplex_step(s, opts, stall_limit), st)
+            st = st._replace(status=jnp.where(
+                st.status == Status.RUNNING,
+                jnp.int32(Status.ITERATION_LIMIT), st.status))
+            return st, lb_c, ub_c
+
+        out, lb_next, ub_next = jax.vmap(one)(parent_of, is_up)
+        summary = _wave_summaries(out, R, const)
+        dt = summary.dtype
+        summary = jnp.concatenate(
+            [summary, parent_of[:, None].astype(dt),
+             is_up[:, None].astype(dt)], axis=1)
+        return (out, summary, parent_of >= 0, lb_next, ub_next,
+                expand.astype(jnp.int32))
+
+    return run
+
+
+def run_expand_generation(prev_T, prev_basis, summ_prev, active, lbmat,
+                          ubmat, col_active, art_cols, le_col, le_sign,
+                          ge_col, ge_sign, corner_cut, int_tol,
+                          max_iters_dev, R, const,
+                          opts: SolverOptions | None = None):
+    """Dispatch one device-side B&B generation (see
+    ``_compiled_expand_generation``). Returns ``(out_state, summary_aug,
+    next_active, lbmat, ubmat, expand_mask)`` — all device arrays; the
+    summary gains two genealogy columns (parent lane, is_up)."""
+    if opts is None:
+        opts = SolverOptions.for_dtype(prev_T.dtype)
+    m = prev_T.shape[1] - 2
+    n = prev_T.shape[2] - 1
+    stall_limit = opts.resolved_stall_limit(m, n)
+    run = _compiled_expand_generation(_budget_key(opts), stall_limit)
+    return run(prev_T, prev_basis, summ_prev, active, lbmat, ubmat,
+               col_active, art_cols, le_col, le_sign, ge_col, ge_sign,
+               corner_cut, int_tol, max_iters_dev, R, const)
 
 
 @functools.lru_cache(maxsize=32)
