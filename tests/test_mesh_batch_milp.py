@@ -95,8 +95,10 @@ class TestMeshMilp:
     def test_set_cover_parity_1_vs_8_devices(self):
         """The VERDICT item's acceptance test: a set-cover MILP solves
         IDENTICALLY on 1 device and on the 8-virtual-device mesh."""
+        # device_generations=0 on the solo side: mesh waves are chain-
+        # ineligible, so the node-count comparison needs the same scheduler
         ref, st0 = solve_milp(_set_cover(seed=1), batch_size=16,
-                              return_stats=True)
+                              device_generations=0, return_stats=True)
         sol, st = solve_milp(_set_cover(seed=1), batch_size=16,
                              mesh=_mesh_2d(), return_stats=True)
         assert sol.status == ref.status == "optimal"
