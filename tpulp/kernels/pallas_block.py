@@ -29,6 +29,19 @@ sequences — pinned by tests in interpret mode.
 Scalar state is packed into two small vectors:
   iscal: [phase, status, niter, stuck, bland, t, 0, 0]        (int32, SMEM)
   fscal: [last_z, 0]                                          (dtype,  SMEM)
+
+Round-5 profile-driven optimizations (real Mosaic trace, decoded by
+tools/xplane.py; breakdown in BENCH.md):
+* eta-column selects (``V[:, j]``, ``U[:, rg]``) go through ONE 128-lane
+  dynamic window instead of a full (K, N8)/(K, M8) onehot pass — the
+  onehots were ~1/3 of in-kernel VPU time at K=256;
+* the block flush is ``fused_flush``: one tiled Pallas pass computes
+  ``T + U^T V`` on the MXU and writes BOTH the result and its bit-exact
+  transpose, replacing the two full-tableau layout copies that ``T.T``
+  lowered to (~24% of wall time).
+K is VMEM-bound at 256 for the 4096x8192 baseline shape: U+V =
+K*(M8+N8)*4B must fit the 16 MB scoped-VMEM stack limit (K=384 fails to
+compile with a scoped-vmem OOM — measured, not estimated).
 """
 
 from __future__ import annotations
@@ -136,9 +149,13 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
                     cp = pltpu.make_async_copy(
                         T_hbm.at[pl.ds(base_d, ROWW), :], rowd_s, sem_d)
                     cp.start()
-                    onehot_rd = (lax.broadcasted_iota(jnp.int32, (K, M8), 1)
-                                 == rg_d).astype(dtype)
-                    u_rd = jnp.sum(U[...] * onehot_rd, axis=1, keepdims=True)
+                    # r5 window select (see the entering-column comment):
+                    # one 128-lane window of U instead of a (K, M8) onehot
+                    rd128 = pl.multiple_of((rg_d // 128) * 128, 128)
+                    Uw = U[:, pl.ds(rd128, 128)]
+                    onehot_rd = (lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+                                 == rg_d - rd128).astype(dtype)
+                    u_rd = jnp.sum(Uw * onehot_rd, axis=1, keepdims=True)
                     corr = jnp.sum(u_rd * V[...], axis=0, keepdims=True)
                     cp.wait()
                     rowdv_s[...] = _select_row(rowd_s[...], rg_d - base_d,
@@ -193,9 +210,19 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
                 cp = pltpu.make_async_copy(Tt_hbm.at[pl.ds(base_j, ROWW), :],
                                            colj_s, sem_c)
                 cp.start()
-                onehot_j = (lax.broadcasted_iota(jnp.int32, (K, N8), 1)
-                            == j).astype(dtype)
-                v_j = jnp.sum(V[...] * onehot_j, axis=1,
+                # r5 profiling fix (BENCH.md trace breakdown): selecting
+                # V[:, j] through a full (K, N8) onehot was ~1/3 of the
+                # kernel's VPU time at K=256 — the iota/compare/multiply/
+                # reduce pass touches every eta element. The caller pads
+                # both tableau dims to multiples of 128, so a 128-aligned
+                # dynamic LANE window is always legal: slice the single
+                # (K, 128) window containing column j and reduce only that
+                # (64x fewer elements; same first-index semantics).
+                j128 = pl.multiple_of((j // 128) * 128, 128)
+                Vw = V[:, pl.ds(j128, 128)]
+                onehot_j = (lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+                            == j - j128).astype(dtype)
+                v_j = jnp.sum(Vw * onehot_j, axis=1,
                               keepdims=True)       # (K, 1)
                 corr_c = jnp.sum(v_j * U[...], axis=0,
                                  keepdims=True)    # (1, M8)
@@ -240,9 +267,13 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
                 cp2 = pltpu.make_async_copy(
                     T_hbm.at[pl.ds(base_rg, ROWW), :], vrow_s, sem_r)
                 cp2.start()
-                onehot_rg_KM = (lax.broadcasted_iota(jnp.int32, (K, M8), 1)
-                                == rg)
-                u_rg = jnp.sum(U[...] * onehot_rg_KM.astype(dtype), axis=1,
+                # same r5 window select as the entering column: one
+                # (K, 128) window of U instead of a (K, M8) onehot pass
+                rg128 = pl.multiple_of((rg // 128) * 128, 128)
+                Uw2 = U[:, pl.ds(rg128, 128)]
+                onehot_rg_KM = (lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+                                == rg - rg128)
+                u_rg = jnp.sum(Uw2 * onehot_rg_KM.astype(dtype), axis=1,
                                keepdims=True)      # (K, 1)
                 corr_r = jnp.sum(u_rg * V[...], axis=0, keepdims=True)
                 cp2.wait()
@@ -364,6 +395,131 @@ def _make_kernel(opts: SolverOptions, stall_limit: int, K: int, M8: int,
         lax.fori_loop(0, K, body, 0)
 
     return kernel
+
+
+def _make_flush_kernel(TM: int, opt_tol: float, piv_tol: float):
+    def _flush_kernel(T_in, U_in, V_in, ca_in, T_out, Tt_out, scan_out):
+        """One (TM, TN) tile of the fused flush: ``Tn = T + U^T V`` written
+        to T_out at (i, j) AND its EXACT transpose written to Tt_out at
+        (j, i). Both outputs come from the same in-VMEM ``Tn`` value, so
+        ``Tt == T^T`` bit-for-bit by construction — the consistency the
+        walk depends on (see run_simplex_blocked_pallas: two separately-
+        accumulated matmuls round differently and corrupt the walk).
+
+        U arrives FULL (VMEM-resident across the whole grid — its
+        BlockSpec index is invariant, so the pipeline loads it once; U is
+        the SMALLER eta factor, K x M8) and is sliced per tile here; V's
+        (K, TN) stripe is invariant along the inner grid axis, so each
+        stripe loads once. This keeps the eta factors' HBM traffic at
+        ~one read total instead of one read per tile (the first 2D-tiled
+        attempt RE-READ a U/V stripe for every tile — ~550 MB/block of
+        redundant traffic, measured slower than the XLA transpose it
+        replaced)."""
+        i = pl.program_id(1)
+        U_sl = U_in[:, pl.ds(pl.multiple_of(i * TM, 128), TM)]
+        D = lax.dot_general(
+            U_sl, V_in[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=T_in.dtype,
+            precision=lax.Precision.HIGHEST)
+        Tn = T_in[...] + D
+        T_out[...] = Tn
+        Tt_out[...] = Tn.T
+        # per-block RAY-SCAN inputs, fused into the flush (r5: the
+        # standalone XLA scan re-read the whole tableau — 189 us/block).
+        # scan_out (2, TN) per column stripe accumulates across row tiles:
+        # row 0 = improving (active & negative reduced cost, from the tile
+        # holding the objective rows), row 1 = has-positive-entry among
+        # constraint rows. The caller reduces any(imp & ~blocked) outside
+        # (a (1, N8) op). Constraint rows start at global row 2; tile i
+        # holds rows [i*TM, (i+1)*TM), so only tile 0 masks its first two.
+        rows = lax.broadcasted_iota(jnp.int32, Tn.shape, 0)
+        crow_mask = (rows >= jnp.where(i == 0, 2, 0)).astype(jnp.int32)
+        pos_any = jnp.max((Tn > piv_tol).astype(jnp.int32) * crow_mask,
+                          axis=0)[None, :]
+
+        @pl.when(i == 0)
+        def _():
+            imp = ((ca_in[...] > 0)
+                   & (Tn[0:1, :] < -opt_tol)).astype(jnp.int32)
+            scan_out[0:1, :] = imp
+            scan_out[1:2, :] = pos_any
+
+        @pl.when(i != 0)
+        def _():
+            scan_out[1:2, :] = jnp.maximum(scan_out[1:2, :], pos_any)
+
+    return _flush_kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("opt_tol", "piv_tol", "interpret"))
+def fused_flush(T, U, V, ca, opt_tol: float, piv_tol: float,
+                interpret: bool = False):
+    """Rank-K flush + exact-transpose maintenance + ray-scan inputs in ONE
+    tiled pass: returns ``(Tn, Tn^T, scan)`` with ``Tn = T + U^T V`` and
+    ``scan`` a (2, N8) int32 pair (improving-mask, has-positive-entry) the
+    caller reduces to the per-block unboundedness certificate.
+
+    r5 profiling motivation (BENCH.md trace breakdown): the XLA
+    formulation (einsum flush, then ``T.T``) lowered to the matmul PLUS
+    two full-tableau layout copies — 852 us/block of pure copy traffic at
+    4096x8192/K=256, ~24% of wall time. Here each tile is read once,
+    updated on the MXU, and written twice (natural + transposed
+    coordinates); the transpose costs one extra tile WRITE instead of a
+    separate read+write pass over the whole tableau."""
+    M8, N8 = T.shape
+    K = U.shape[0]
+    dsize = T.dtype.itemsize
+
+    # tile chooser: the largest (TM, TN) dividing the (128-padded) dims
+    # whose working set — U resident in full, double-buffered V stripe and
+    # three T/Tt tiles — fits the 16 MB scoped-VMEM stack with headroom.
+    # Bigger tiles = fewer grid steps and better MXU shapes (128x128 tiles
+    # measured ~2.6x slower than the XLA matmul they replaced).
+    def _fits(tm, tn):
+        vmem = (K * M8 + 2 * K * tn + 6 * tm * tn) * dsize
+        return vmem < 14 * 2 ** 20
+
+    TN = next((t for t in (640, 512, 384, 256, 128) if N8 % t == 0), 128)
+    TM = next((t for t in (512, 384, 256, 128)
+               if M8 % t == 0 and _fits(t, TN)), 128)
+    # grid is (columns, rows) with ROWS innermost: the V stripe's index is
+    # then invariant along the inner axis (loads once per stripe), U's is
+    # fully invariant (loads once)
+    grid = (N8 // TN, M8 // TM)
+    return pl.pallas_call(
+        _make_flush_kernel(TM, opt_tol, piv_tol),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, M8), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, TN), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, TN), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, TM), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, TN), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M8, N8), T.dtype),
+            jax.ShapeDtypeStruct((N8, M8), T.dtype),
+            jax.ShapeDtypeStruct((2, N8), jnp.int32),
+        ],
+        # donate T into the updated T: each (i, j) tile is read before it
+        # is overwritten (same index map), and the in-place carry saves a
+        # full-tableau copy per block (423 us/block measured in the trace)
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(T, U, V, ca)
 
 
 @functools.partial(

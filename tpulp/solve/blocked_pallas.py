@@ -121,30 +121,30 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
                  c.ab, c.gamma, c.iscal, c.fscal,
                  opts=opts, stall_limit=stall_limit, K=K,
                  n_real=N, m_real=m, interpret=interpret)
-            # flush the rank-K update into T (one MXU matmul), then derive
-            # the transposed copy by TRANSPOSING the flushed T — NOT by a
-            # second accumulated matmul. Two separately-accumulated matmuls
-            # (T += U^T V and Tt += V^T U) round differently on the MXU, so
-            # Tt drifts from T^T block by block; the kernel reads entering
-            # COLUMNS from Tt but pivot ROWS from T, and that inconsistency
-            # compounds into a wrong walk (caught by the bench compiled-pin:
-            # 2000-pivot stall on an instance the jnp driver solves in 205).
-            # The transpose costs the same HBM traffic as the matmul it
-            # replaces and is exact by construction.
-            # HIGHEST: TPU's default matmul precision feeds the MXU bf16
-            # inputs for f32 einsums; the rank-K flush needs full f32
-            T = c.T + jnp.einsum('km,kn->mn', U, V,
-                                 preferred_element_type=dtype,
-                                 precision=lax.Precision.HIGHEST)
-            Tt = T.T
-            # per-block RAY SCAN (round 4, mirrors solve.blocked): one
-            # O(mn) pass over the freshly-flushed tableau certifies
-            # unboundedness the in-kernel pricing may circle for thousands
-            # of pivots under devex. Pads are zero / masked so the full-
-            # width reductions are safe; RHS column sits at N-1 < N8.
-            improving = (ca[0, :] > 0) & (T[0, :] < -opts.opt_tol)
-            blocked_col = jnp.any(T[2:, :] > opts.piv_tol, axis=0)
-            ray = (jnp.any(improving & ~blocked_col)
+            # FUSED flush (r5, profile-driven — BENCH.md trace breakdown):
+            # one tiled Pallas pass computes ``Tn = T + U^T V`` on the MXU
+            # and writes BOTH Tn and its transpose from the same in-VMEM
+            # tile. Correctness contract unchanged from the r3 fix: two
+            # separately-accumulated matmuls (T += U^T V and Tt += V^T U)
+            # round differently on the MXU and corrupt the walk (caught by
+            # a compiled pin: 2000-pivot stall); here Tt == T^T bit-for-bit
+            # by construction. What it buys: the old ``T.T`` lowered to two
+            # full-tableau layout copies (852 us/block at 4096x8192/K=256 =
+            # ~24% of wall) — now the transpose is one extra tile WRITE
+            # inside the flush pass.
+            from ..kernels.pallas_block import fused_flush
+
+            T, Tt, scan = fused_flush(c.T, U, V, ca,
+                                      opt_tol=float(opts.opt_tol),
+                                      piv_tol=float(opts.piv_tol),
+                                      interpret=interpret)
+            # per-block RAY SCAN (round 4, mirrors solve.blocked): the
+            # inputs now ride the fused flush (r5 — the standalone scan
+            # re-read the whole tableau, 189 us/block); reducing the
+            # (2, N8) accumulator here certifies unboundedness the
+            # in-kernel pricing may circle for thousands of pivots under
+            # devex. Pads are zero / masked; RHS column sits at N-1 < N8.
+            ray = (jnp.any((scan[0] > 0) & (scan[1] == 0))
                    & (iscal[0] == 2) & (iscal[1] == Status.RUNNING))
             iscal = iscal.at[1].set(jnp.where(
                 ray, jnp.int32(Status.UNBOUNDED), iscal[1]))
