@@ -694,7 +694,8 @@ def run_bench_corpus(dtype_name="float32", verbose=False):
                 float(sol.objective - c.objective)) / denom
             ok = ok and refined_gap <= 1e-9
         n_ok += bool(ok)
-        rows.append((c.name, sol.status, sol.niter, raw_gap, refined_gap, dt))
+        rows.append((c.name, sol.status, sol.niter, raw_gap, refined_gap, dt,
+                     sol.rung))
         if verbose:
             rg = f"{raw_gap:.2e}" if raw_gap is not None else (
                 raw_note or "-")
@@ -702,10 +703,19 @@ def run_bench_corpus(dtype_name="float32", verbose=False):
             print(
                 f"# {c.name:24s} {sol.status:12s} niter={sol.niter:6d} "
                 f"raw_gap={rg:9s} refined_gap={fg:9s} {dt:6.2f}s "
-                f"{'OK' if ok else 'FAIL'}",
+                f"rung={sol.rung or '-':18s} {'OK' if ok else 'FAIL'}",
                 file=sys.stderr,
             )
-    return n_ok, len(CASES), rows
+    # per-rung escalation table (r5, VERDICT r4 item 1 "done when"): which
+    # precision-ladder rung produced each family's final answer
+    rungs = {}
+    for row in rows:
+        rungs[row[6] or "unknown"] = rungs.get(row[6] or "unknown", 0) + 1
+    if verbose:
+        print(f"# ladder escalation rates: {rungs} "
+              f"({len(CASES)} cases at requested dtype {dtype_name})",
+              file=sys.stderr)
+    return n_ok, len(CASES), rows, rungs
 
 
 def main():
@@ -767,13 +777,14 @@ def main():
         parity_check()
 
     if args.mode == "corpus":
-        n_ok, n_total, _ = run_bench_corpus(
+        n_ok, n_total, _, rungs = run_bench_corpus(
             dtype_name=args.dtype, verbose=args.verbose)
         print(json.dumps({
             "metric": f"corpus parity, {n_total} netlib-style instances, "
                       f"{args.dtype} iterates + exact refinement, 1 chip",
             "value": n_ok,
             "unit": "instances at <=1e-9 rel gap",
+            "escalation_rates": rungs,
             "vs_baseline": round(n_ok / n_total, 4),
         }))
         return

@@ -67,6 +67,9 @@ class Solution:
     # (incumbent - best frontier bound) / max(|incumbent|, 1), both in the
     # minimization sense; 0 for proven-optimal solves
     mip_gap: Optional[float] = None
+    # which precision-ladder rung produced this answer (r5 observability:
+    # 'device-float32', 'device-float64', 'refreshed-float64', 'host-exact')
+    rung: Optional[str] = None
 
     @property
     def is_optimal(self) -> bool:
@@ -107,10 +110,12 @@ def solve_standard_form_host(sf: StandardForm, rule: str = "dantzig"
     tab = Tableau.fromArrays(sf.c, sf.A, sf.b, names=sf.col_names)
     sx = Simplex(tab, on_infeasible="status")
     if sx.getStatus() is not None:
-        return Solution(status="infeasible", niter=sx.num_pivots)
+        return Solution(status="infeasible", niter=sx.num_pivots,
+                        rung="host-exact")
     status = sx.solve(rule=rule)
     if status.value != "optimal":
-        return Solution(status=status.value, niter=sx.num_pivots)
+        return Solution(status=status.value, niter=sx.num_pivots,
+                        rung="host-exact")
     bfs = sx.getBFS()
     xc = [bfs.get(j, F(0)) for j in range(sf.n)]
     z_min = sf.obj_const + sum(
@@ -123,6 +128,7 @@ def solve_standard_form_host(sf: StandardForm, rule: str = "dantzig"
         objective_min=z_min,
         col_values={j: xc[j] for j in range(sf.n) if xc[j] != 0},
         basis=list(sx.getBasicSequence()),
+        rung="host-exact",
     )
 
 
@@ -354,6 +360,8 @@ def solve_standard_form(
     status_code = int(out.status)
     status = Status.NAMES.get(status_code, f"status_{status_code}")
     niter = int(out.niter)
+    rung_tag = (f"refreshed-{state.T.dtype.name}" if driver == "refreshed"
+                else f"device-{state.T.dtype.name}")
 
     def _escalate() -> Solution:
         if fallback == "none" or _depth >= 2:
@@ -410,7 +418,7 @@ def solve_standard_form(
                 and fallback != "none" and _depth < 2
                 and (_depth == 0 or sf.m <= 192)):
             return _escalate()
-        return Solution(status=status, niter=niter)
+        return Solution(status=status, niter=niter, rung=rung_tag)
 
     basis = [int(j) for j in np.asarray(out.basis)]
     if refine == "none":
@@ -422,8 +430,12 @@ def solve_standard_form(
             x_dev, z_dev = extract_solution(out)
         x_np = np.asarray(x_dev)
         if col_scale is not None:
-            # device values are in scaled coordinates: x = S x'
-            x_np = x_np * col_scale[: x_np.shape[0]]
+            # device values are in scaled coordinates: x = S x' (artificial
+            # columns beyond sf.n carry no scale — they are unit columns
+            # make_state appended after the scaled data)
+            x_np = x_np.copy()
+            ncs = min(col_scale.shape[0], x_np.shape[0])
+            x_np[:ncs] *= col_scale[:ncs]
         col_values = {j: float(x_np[j]) for j in range(sf.n) if x_np[j] != 0}
         z_min = float(z_dev) + float(sf.obj_const)
     else:
@@ -496,6 +508,7 @@ def solve_standard_form(
         col_values=dict(col_values),
         basis=basis,
         y=y,
+        rung=rung_tag,
     )
 
 
