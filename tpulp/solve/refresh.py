@@ -68,6 +68,12 @@ def refresh_tableau(
     Small negative basic values (|.| <= ``feas_tol`` * scale) are drift and
     are clamped to 0; a larger violation means the float walk genuinely
     lost primal feasibility — returns ``None`` (as does a singular basis).
+    ``feas_tol=None`` clamps ANY negative basic value (Harris-style bound
+    shifting): the right mode for f32 engines, whose deep phase-1 walks
+    transiently carry ~1e-3..3e-1 violations while still making real
+    progress (measured on the 1024x2048 family). The perturbation cannot
+    accumulate — every refresh re-derives from the ORIGINAL data, and
+    terminal verdicts/certificates are anchored there too.
     """
     m = T0.shape[0] - 2
     T0 = np.asarray(T0, dtype=np.float64)
@@ -84,10 +90,11 @@ def refresh_tableau(
     X[:, basis] = 0.0
     X[rows, basis[rows]] = 1.0
     bcol = X[:, -1]
-    scale = 1.0 + float(np.max(np.abs(T0[2:, -1]), initial=0.0))
-    bad = bcol < -feas_tol * scale
-    if np.any(bad):
-        return None
+    if feas_tol is not None:
+        scale = 1.0 + float(np.max(np.abs(T0[2:, -1]), initial=0.0))
+        bad = bcol < -feas_tol * scale
+        if np.any(bad):
+            return None
     np.clip(bcol, 0.0, None, out=bcol)
     c = T0[0, :]
     c1 = np.concatenate([np.where(np.asarray(art0), 1.0, 0.0), [0.0]])
@@ -143,6 +150,11 @@ def run_simplex_refreshed(
     art0 = np.asarray(state.art_cols).copy()
     budget = opts.max_iters
     segment = max(1, min(segment, budget))
+    # f32 engines: clamp-all (Harris-style bound shifting) — their deep
+    # walks transiently violate feasibility by far more than drift
+    # tolerances while still progressing; f64 keeps the tight gate
+    clamp_tol = None if dtype == jnp.dtype(np.float32) \
+        else max(opts.feas_tol, 1e-7)
 
     def run_seg(s, target):
         # ``niter`` is absolute and carried across resumes; the drivers'
@@ -152,6 +164,15 @@ def run_simplex_refreshed(
             from .blocked import run_simplex_blocked
 
             return run_simplex_blocked(s, seg_opts, block=block)
+        if engine == "pallas":
+            # compiled-speed segments with host f64 refactorization between
+            # them: the mixed-precision scheme that carries f32 iterate
+            # speed into the deep-phase-1 regime (drift is bounded to one
+            # segment instead of the whole walk)
+            from .blocked_pallas import run_simplex_blocked_pallas
+
+            return run_simplex_blocked_pallas(s, seg_opts,
+                                              block=max(block, 128))
         return run_simplex(s, seg_opts)
 
     total = 0
@@ -164,7 +185,7 @@ def run_simplex_refreshed(
         if st == Status.ITERATION_LIMIT and total < budget:
             # segment cap, not the real budget: refresh and continue
             Tn = refresh_tableau(T0, np.asarray(out.basis), art0,
-                                 feas_tol=max(opts.feas_tol, 1e-7))
+                                 feas_tol=clamp_tol)
             if Tn is None:
                 return out._replace(
                     status=jnp.asarray(Status.NUMERIC, jnp.int32))
@@ -179,7 +200,7 @@ def run_simplex_refreshed(
             return out
         verdict_refreshes += 1
         Tn = refresh_tableau(T0, np.asarray(out.basis), art0,
-                             feas_tol=max(opts.feas_tol, 1e-7))
+                             feas_tol=clamp_tol)
         if Tn is None:
             # unrepairable basis: report NUMERIC so the ladder escalates
             return out._replace(
