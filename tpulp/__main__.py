@@ -82,11 +82,17 @@ def _cmd_solve(args) -> int:
     if getattr(args, "pricing", "default") != "default" \
             and not prog.isMixedInteger():
         kwargs["pricing"] = args.pricing
+    if getattr(args, "scale", "auto") != "auto" \
+            and not prog.isMixedInteger():
+        kwargs["scale"] = args.scale
     if prog.isMixedInteger():
         if getattr(args, "branching", "most_fractional") != "most_fractional":
             kwargs["branching"] = args.branching
         if getattr(args, "node_encoding", "rows") != "rows":
             kwargs["node_encoding"] = args.node_encoding
+        dg = getattr(args, "device_generations", None)
+        if dg is not None:
+            kwargs["device_generations"] = dg
     sol = prog.solve(presolve=args.presolve, **kwargs)
     out = {"status": sol.status}
     if sol.is_optimal:
@@ -201,6 +207,14 @@ def main(argv=None) -> int:
                     choices=["default", "devex"],
                     help="device pricing rule for LP solves (devex: far "
                          "fewer pivots on equality-heavy instances)")
+    p1.add_argument("--scale", default="auto",
+                    choices=["auto", "force", "none"],
+                    help="geometric-mean power-of-two equilibration of the "
+                         "device data (LP solves; auto = when material)")
+    p1.add_argument("--device-generations", type=int, default=None,
+                    dest="device_generations",
+                    help="MILP: B&B generations expanded on device per "
+                         "host round trip (default 6; 0/1 disables)")
     p1.set_defaults(fn=_cmd_solve)
 
     p2 = sub.add_parser("solve-tableau",

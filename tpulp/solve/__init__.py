@@ -17,9 +17,12 @@ from .bounded import (
 )
 from .dual import run_dual_simplex, warm_state_from_basis
 from .refine import exact_basis_solve, refine_basis_solution
+from .refresh import refresh_tableau, run_simplex_refreshed
 
 __all__ = [
     "BoundedState",
+    "refresh_tableau",
+    "run_simplex_refreshed",
     "make_bounded_state",
     "run_simplex_bounded",
     "run_simplex_bounded_batch",
