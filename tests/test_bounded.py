@@ -418,3 +418,40 @@ class TestBoundedDevex:
         assert sol.status == "optimal"
         assert sol.objective == 12
         assert all(v == 2 for v in sol.x.values())
+
+
+def test_batched_bounded_devex_rule():
+    """RULE_DEVEX through the BATCHED bounded driver (round 5): gamma is
+    initialized per lane and each lane lands the row-lowering oracle."""
+    import dataclasses
+
+    from tpulp.core import RULE_DEVEX
+    from tpulp.batch.vmap_driver import (extract_batch_bounded_solutions,
+                                         make_batched_bounded_states)
+    from tpulp.solve.bounded import run_simplex_bounded_batch
+
+    rng = np.random.default_rng(4)
+    sfs, oracles = [], []
+    for k in range(4):
+        lp = LinProg()
+        obj = LinExpr()
+        for jv in range(6):
+            lp.addVar(f"v{jv}", lb=0, ub=int(rng.integers(1, 7)))
+            obj += LinExpr(int(rng.integers(-8, 9)), f"v{jv}")
+        lp.maximize(obj)
+        for i in range(3):
+            e = LinExpr()
+            for jv in range(6):
+                e += LinExpr(int(rng.integers(-2, 5)), f"v{jv}")
+            lp.addConstraint(e.constraintLeq(int(rng.integers(6, 25))))
+        sfs.append(lp.lower(simple_bounds=True))
+        oracles.append(solve_lp(lp.lower()))
+    bstate = make_batched_bounded_states(sfs, dtype=jnp.float64)
+    opts = SolverOptions.for_dtype(jnp.float64, rule=RULE_DEVEX,
+                                   max_iters=2000)
+    bout = run_simplex_bounded_batch(bstate, opts)
+    sols = extract_batch_bounded_solutions(sfs, bout, refine="auto")
+    for sol, ref in zip(sols, oracles):
+        assert sol.status == ref.status
+        if ref.status == "optimal":
+            assert sol.objective == ref.objective

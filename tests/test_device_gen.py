@@ -140,3 +140,37 @@ def test_chain_with_checkpointing(tmp_path):
         assert resumed.objective == ref.objective
     else:
         assert partial.objective == ref.objective
+
+
+@pytest.mark.parametrize("seed", [5, 7, 11])
+def test_chain_parity_general_integer(seed):
+    """Bounded general-integer MILPs (non-binary branching, >= rows):
+    chain vs chainless parity on a third structural family."""
+    rng = np.random.default_rng(seed)
+    n, mcon = 16, 5
+    A = rng.integers(-4, 7, size=(mcon, n))
+    c = rng.integers(-9, 10, size=n)
+    rhs = rng.integers(-10, 15, size=mcon)   # frozen: both solves must see
+                                             # the SAME problem
+
+    def mk():
+        lp = LinProg(f"gi{seed}")
+        obj = LinExpr()
+        for i in range(n):
+            lp.addVar(f"x{i}", integral=True, lb=0, ub=3)
+            obj += LinExpr(int(c[i]), f"x{i}")
+        lp.minimize(obj)
+        for k in range(mcon):
+            e = LinExpr()
+            for i in range(n):
+                if A[k, i]:
+                    e += LinExpr(int(A[k, i]), f"x{i}")
+            lp.addConstraint(e.constraintGeq(int(rhs[k])))
+        return lp
+    a = solve_milp(mk(), dtype=jnp.float32, batch_size=16,
+                   device_generations=0, max_nodes=3000)
+    b = solve_milp(mk(), dtype=jnp.float32, batch_size=16,
+                   device_generations=5, max_nodes=3000)
+    assert a.status == b.status
+    if a.status == "optimal":
+        assert a.objective == b.objective
