@@ -134,17 +134,33 @@ def _compiled(opts: SolverOptions, stall_limit: int, K: int,
             # inside the flush pass.
             from ..kernels.pallas_block import fused_flush
 
-            T, Tt, scan = fused_flush(c.T, U, V, ca,
-                                      opt_tol=float(opts.opt_tol),
-                                      piv_tol=float(opts.piv_tol),
-                                      interpret=interpret)
+            if K * M8 * dtype.itemsize <= 12 * 2 ** 20:
+                T, Tt, scan = fused_flush(c.T, U, V, ca,
+                                          opt_tol=float(opts.opt_tol),
+                                          piv_tol=float(opts.piv_tol),
+                                          interpret=interpret)
+                imp_cols = scan[0] > 0
+                blocked_cols = scan[1] > 0
+            else:
+                # VERY tall tableaus (K*M8 past the fused kernel's VMEM
+                # residency budget): the pre-r5 XLA formulation — einsum
+                # flush then an exact transpose (HIGHEST precision: f32
+                # einsums otherwise feed the MXU bf16 inputs, and two
+                # separately-accumulated matmuls would let Tt drift from
+                # T^T and corrupt the walk — the r3 compiled-pin finding)
+                T = c.T + jnp.einsum('km,kn->mn', U, V,
+                                     preferred_element_type=dtype,
+                                     precision=lax.Precision.HIGHEST)
+                Tt = T.T
+                imp_cols = (ca[0, :] > 0) & (T[0, :] < -opts.opt_tol)
+                blocked_cols = jnp.any(T[2:, :] > opts.piv_tol, axis=0)
             # per-block RAY SCAN (round 4, mirrors solve.blocked): the
             # inputs now ride the fused flush (r5 — the standalone scan
             # re-read the whole tableau, 189 us/block); reducing the
-            # (2, N8) accumulator here certifies unboundedness the
-            # in-kernel pricing may circle for thousands of pivots under
-            # devex. Pads are zero / masked; RHS column sits at N-1 < N8.
-            ray = (jnp.any((scan[0] > 0) & (scan[1] == 0))
+            # accumulators here certifies unboundedness the in-kernel
+            # pricing may circle for thousands of pivots under devex.
+            # Pads are zero / masked; RHS column sits at N-1 < N8.
+            ray = (jnp.any(imp_cols & ~blocked_cols)
                    & (iscal[0] == 2) & (iscal[1] == Status.RUNNING))
             iscal = iscal.at[1].set(jnp.where(
                 ray, jnp.int32(Status.UNBOUNDED), iscal[1]))
