@@ -377,7 +377,7 @@ def _previous_round_capture():
 
 def run_bench(m=4096, n_struct=4096, pivots=1024, dtype_name="float32",
               seed=0, verbose=False, driver="pallas", block=128,
-              repeats=120, reps=5, profile=False, pricing="default",
+              repeats=120, reps=7, profile=False, pricing="default",
               groups=4, max_groups=8, spread_band=0.10):
     """Pivot throughput via ACCUMULATED two-point differencing, captured as
     BEST-OF-M independent group medians (VERDICT r3 weak #1).
@@ -743,8 +743,10 @@ def main():
                          "the tunnel's contamination scale and groups read "
                          "impossible highs; bigger budgets restore >0.6 s "
                          "denominators)")
-    ap.add_argument("--reps", type=int, default=5,
-                    help="measurements per group (group value = median)")
+    ap.add_argument("--reps", type=int, default=7,
+                    help="measurements per group (group rate uses the "
+                         "MINIMUM time per budget; more reps = better odds "
+                         "of one contamination-free timing per group)")
     ap.add_argument("--groups", type=int, default=4,
                     help="minimum independent measurement groups; the "
                          "capture is the MEDIAN OF THE TOP TWO group rates "
