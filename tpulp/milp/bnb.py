@@ -678,9 +678,20 @@ def solve_milp(
         stats.gen_waves += len(expands)
         _tf0 = time.perf_counter()
         stats.t_assemble += _tf0 - _ta0
-        summ_all = np.asarray(jnp.stack(summs))
-        e_all = np.asarray(jnp.stack(expands)) if expands else \
-            np.zeros((0, B), np.int32)
+        # ONE flat fetch for the whole chain (summaries + expansion masks):
+        # each separate np.asarray costs a full tunnel RTT (~35-100 ms
+        # measured; copy_to_host_async does not overlap on this backend)
+        summ_stack = jnp.stack(summs)
+        Gn = len(summs)
+        W2 = summ_stack.shape[2]
+        parts = [summ_stack.reshape(-1)]
+        if expands:
+            parts.append(jnp.stack(expands).reshape(-1)
+                         .astype(summ_stack.dtype))
+        buf = np.asarray(jnp.concatenate(parts))
+        summ_all = buf[:Gn * B * W2].reshape(Gn, B, W2)
+        e_all = buf[Gn * B * W2:].reshape(len(expands), B).astype(np.int32) \
+            if expands else np.zeros((0, B), np.int32)
         _tp1 = time.perf_counter()
         stats.t_device += _tp1 - _tf0
 
