@@ -133,3 +133,35 @@ class TestPallasDevex:
         sol = solve_lp(case.lp(), pricing="devex", driver="pallas")
         assert sol.status == "optimal"
         assert sol.objective == case.objective
+
+
+def test_fused_flush_matches_einsum_and_transpose():
+    """The r5 fused flush must reproduce the XLA formulation EXACTLY in
+    interpret mode: same T' = T + U^T V, Tt' bit-equal to T'.T, and the
+    ray-scan accumulators equal to the standalone column scans."""
+    import numpy as np
+    from jax import lax
+
+    from tpulp.kernels.pallas_block import fused_flush
+
+    rng = np.random.default_rng(9)
+    M8, N8, K = 128, 256, 16
+    T = jnp.asarray(rng.normal(size=(M8, N8)), jnp.float32)
+    U = jnp.asarray(rng.normal(size=(K, M8)) * 0.1, jnp.float32)
+    V = jnp.asarray(rng.normal(size=(K, N8)) * 0.1, jnp.float32)
+    ca = jnp.asarray(rng.integers(0, 2, size=(1, N8)), jnp.int32)
+    opt_tol, piv_tol = 1e-5, 1e-5
+    Tn, Tt, scan = fused_flush(T, U, V, ca, opt_tol=opt_tol,
+                               piv_tol=piv_tol, interpret=True)
+    ref = T + jnp.einsum("km,kn->mn", U, V,
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(Tn), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    # the transpose must be BIT-equal to the returned T (the walk
+    # correctness contract)
+    assert np.array_equal(np.asarray(Tt), np.asarray(Tn).T)
+    imp_ref = (np.asarray(ca)[0] > 0) & (np.asarray(Tn)[0] < -opt_tol)
+    blocked_ref = (np.asarray(Tn)[2:] > piv_tol).any(axis=0)
+    assert np.array_equal(np.asarray(scan[0]) > 0, imp_ref)
+    assert np.array_equal(np.asarray(scan[1]) > 0, blocked_ref)
