@@ -76,13 +76,20 @@ def _padded_arrays(sf: StandardForm, m_max: int, n_base: int):
 def make_batched_states(
     sfs: Sequence[StandardForm],
     dtype=jnp.float64,
+    return_host_art: bool = False,
 ) -> SimplexState:
     """Lower a list of StandardForms to ONE batched state of uniform shape.
 
     simple_bounds lowerings are rejected here — the batched driver has no
     bounded ratio test and silently ignoring the spans would return wrong
     answers; callers materialize the bounds into rows first
-    (``materialize_simple_bounds``, done by ``solve_lp_batch``)."""
+    (``materialize_simple_bounds``, done by ``solve_lp_batch``).
+
+    ``return_host_art=True`` also returns the host numpy copy of the
+    batched ``art_cols`` as ``(state, art_cols_np)`` — the data exists on
+    host during assembly anyway, and fetching it back off the device
+    costs a full tunnel RTT (~80 ms measured; tpulp.milp reads it once
+    per solve)."""
     if not sfs:
         raise ValueError("empty batch")
     if any(sf.upper is not None and any(u is not None for u in sf.upper)
@@ -108,7 +115,10 @@ def make_batched_states(
     # stack on host, ONE device transfer per leaf (eager per-state transfers
     # measured as a dominant cost of B&B wave setup)
     stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *states)
-    return jax.tree.map(jnp.asarray, stacked)
+    dev = jax.tree.map(jnp.asarray, stacked)
+    if return_host_art:
+        return dev, np.asarray(stacked.art_cols)
+    return dev
 
 
 def make_batched_bounded_states(

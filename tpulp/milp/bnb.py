@@ -940,7 +940,8 @@ def solve_milp(
         # a cold wave uploads just the (B, m) RHS matrix and a jitted refresh
         # rewrites the batched state in place on device
         if template is None:
-            template = make_batched_states([sfs[0]] * batch_size, dtype=dtype)
+            template, art_cols_host = make_batched_states(
+                [sfs[0]] * batch_size, dtype=dtype, return_host_art=True)
             if mesh is not None:
                 # multi-chip waves: shard the node template batch-outermost
                 # (and columns when the mesh has a cols axis); every jitted
@@ -960,7 +961,10 @@ def solve_milp(
                           for h in root_sf.basis_hint]), template.T.dtype)
             art0 = template.art_cols[0]
             warm_masks = (template.col_active[0] & ~art0, art0)
-            art_cols_host = np.asarray(template.art_cols)
+            if mesh is not None and art_cols_host.shape[1] != \
+                    template.art_cols.shape[1]:
+                # column padding changed the width: re-fetch once
+                art_cols_host = np.asarray(template.art_cols)
             art_start_batched = int(art_cols_host[0].argmax()) \
                 if art_cols_host[0].any() else art_cols_host.shape[1]
             _pool_init()
@@ -1077,18 +1081,23 @@ def solve_milp(
         # the blocking summary fetch below is device compute + tunnel RTT
         _td0 = time.perf_counter()
         stats.t_assemble += _td0 - _tw0
-        if (gen_ok and gen_meta is not None and len(outs) == 1
-                and not ck_idx):
+        if gen_ok and gen_meta is not None and outs and not ck_idx:
             # device-side generation chain: expand G generations before
-            # the one blocking fetch, then reconcile on host — replaces
-            # the single-generation processing below for this wave
-            if _chain_wave(wave, outs[0]):
-                if POOL_DEBUG:
-                    _pool_check()
-                if checkpoint_path is not None and \
-                        stats.waves % max(checkpoint_every, 1) == 0:
-                    _checkpoint()
-                continue
+            # the one blocking fetch per sub-wave, then reconcile on host
+            # — replaces the single-generation processing below. Mixed
+            # cold+warm waves chain each sub-wave independently (their
+            # lanes partition the wave); only resume (ck) sub-waves fall
+            # back (variable batch shape).
+            for _sub in outs:
+                if root_unbounded:
+                    break  # frontier was cleared; nothing may repopulate it
+                _chain_wave(wave, _sub)
+            if POOL_DEBUG:
+                _pool_check()
+            if checkpoint_path is not None and \
+                    stats.waves % max(checkpoint_every, 1) == 0:
+                _checkpoint()
+            continue
         outs = [(idxs, out, w, np.asarray(summ))
                 for idxs, out, w, summ in outs]
         _tp0 = time.perf_counter()
