@@ -68,3 +68,68 @@ def test_random_structure_parity(trial):
     assert dev.status == ref.status, (trial, seeds[trial])
     if ref.status == "optimal":
         assert dev.objective == ref.objective, (trial, seeds[trial])
+
+
+def _brute_force_milp(seed):
+    import itertools
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(6, 11))
+    mc = int(rng.integers(1, 5))
+    c = rng.integers(-9, 10, size=n)
+    A = rng.integers(-5, 8, size=(mc, n))
+    sense = int(rng.integers(0, 2))
+    comps = [int(rng.integers(0, 3)) for _ in range(mc)]
+    rhs = rng.integers(-6, 20, size=mc)
+    lp = LinProg(f"bf{seed}")
+    obj = LinExpr()
+    for j in range(n):
+        lp.addVar(f"x{j}", integral=True, lb=0, ub=1)
+        obj += LinExpr(int(c[j]), f"x{j}")
+    (lp.maximize if sense else lp.minimize)(obj)
+    for i in range(mc):
+        e = LinExpr()
+        nz = 0
+        for j in range(n):
+            if A[i, j]:
+                e += LinExpr(int(A[i, j]), f"x{j}")
+                nz += 1
+        if not nz:
+            continue
+        m = ["constraintLeq", "constraintGeq",
+             "constraintEq"][comps[i]]
+        lp.addConstraint(getattr(e, m)(int(rhs[i])))
+    best = None
+    for bits in itertools.product((0, 1), repeat=n):
+        x = np.array(bits)
+        ok = True
+        for i in range(mc):
+            v = int(A[i] @ x)
+            if (comps[i] == 0 and v > rhs[i]) or \
+               (comps[i] == 1 and v < rhs[i]) or \
+               (comps[i] == 2 and v != rhs[i]):
+                ok = False
+                break
+        if ok:
+            z = int(c @ x)
+            if best is None or (z > best if sense else z < best):
+                best = z
+    return lp, best
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_random_milp_vs_brute_force(trial):
+    """Random binary MILPs (mixed <=/>=/== rows, both senses) against an
+    EXHAUSTIVE oracle — the strongest possible MILP correctness gate at
+    enumerable sizes (part of the r5 40-instance fuzz, all clean)."""
+    from tpulp.milp import solve_milp
+
+    rng_master = np.random.default_rng(31415)
+    seeds = [int(rng_master.integers(0, 2 ** 31)) for _ in range(8)]
+    lp, best = _brute_force_milp(seeds[trial])
+    sol = solve_milp(lp, dtype=jnp.float32, batch_size=16)
+    if best is None:
+        assert sol.status == "infeasible", (trial, seeds[trial])
+    else:
+        assert sol.status == "optimal", (trial, seeds[trial])
+        assert sol.objective == best, (trial, seeds[trial])
