@@ -174,3 +174,52 @@ def test_chain_parity_general_integer(seed):
     assert a.status == b.status
     if a.status == "optimal":
         assert a.objective == b.objective
+
+
+def test_integral_objective_bound_rounding():
+    """r5: when every objective term is an integer coefficient on an
+    integer variable, node bounds round UP to the next integer before the
+    prune test. Without this, a subtree whose LP bound EQUALS the optimum
+    never prunes in float mode — this 18x30 set cover exploded past 8,000
+    nodes; with rounding it proves optimality in the exact-mode tree
+    (~3 nodes)."""
+    rng = np.random.default_rng(3)
+    n_items, n_sets, p = 18, 30, 0.17
+    lp = LinProg("sc_round")
+    xs = [lp.addVar(f"s{j}", integral=True, lb=0, ub=1).x
+          for j in range(n_sets)]
+    cost = rng.integers(2, 20, size=n_sets)
+    obj = LinExpr()
+    for j in range(n_sets):
+        obj += LinExpr(int(cost[j]), xs[j])
+    lp.minimize(obj)
+    cover = rng.random((n_sets, n_items)) < p
+    for i in range(n_items):
+        if not cover[:, i].any():
+            cover[int(rng.integers(0, n_sets)), i] = True
+        e = LinExpr()
+        for j in range(n_sets):
+            if cover[j, i]:
+                e += LinExpr(1, xs[j])
+        lp.addConstraint(e.constraintGeq(1))
+    sol, st = solve_milp(lp, dtype=jnp.float32, batch_size=64,
+                         device_generations=0, max_nodes=500,
+                         return_stats=True)
+    assert sol.status == "optimal"
+    assert sol.objective == 42
+    assert st.nodes_solved <= 20, st.nodes_solved
+
+
+def test_fractional_objective_no_rounding():
+    """A MILP with a fractional objective coefficient must NOT round
+    bounds (the optimum itself is fractional)."""
+    from fractions import Fraction as F
+
+    lp = LinProg("frac")
+    lp.addVar("a", integral=True, lb=0, ub=5)
+    lp.addVar("b", integral=True, lb=0, ub=5)
+    lp.maximize(LinExpr(F(3, 2), "a", 1, "b"))
+    lp.addConstraint(LinExpr(1, "a", 1, "b").constraintLeq(7))
+    sol = solve_milp(lp, dtype=jnp.float32)
+    assert sol.status == "optimal"
+    assert sol.objective == F(19, 2)  # a=5, b=2

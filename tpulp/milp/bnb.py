@@ -578,11 +578,42 @@ def solve_milp(
         eps = 3e-5 if _is_f32 else 1e-7
         return eps * (1.0 + abs(float(incumbent_z)))
 
+    # Integral-objective bound rounding (r5): when EVERY objective term is
+    # an integer coefficient on an integer variable (and the constant is
+    # integral), every integer-feasible point has an INTEGRAL objective —
+    # so a node's float bound rounds UP to the next integer before the
+    # prune test. Without this, a subtree whose LP bound EQUALS the
+    # incumbent optimum can never prune in float mode (bound reads
+    # optimum-1e-6, margin pushes the threshold above it) and the tree
+    # explodes: measured on an 18x30 set cover, 8,000 nodes without proof
+    # vs 3 nodes with rounding — the exact-mode tree. Standard MIP
+    # technique (objective cutoff tightening).
+    def _objective_is_integral() -> bool:
+        try:
+            terms = prog.objective.expr.terms()
+            if Fraction(prog.objective.expr.getConstant()
+                        ).denominator != 1:
+                return False
+            for nm, cf in terms.items():
+                v = prog.getVariable(nm)
+                if v is None or not v.isint:
+                    return False
+                if Fraction(cf).denominator != 1:
+                    return False
+            return True
+        except Exception:
+            return False
+
+    obj_integral = _objective_is_integral()
+
     def cannot_improve(bound) -> bool:
         if incumbent_z is None:
             return False
         if exact_mode:
             return bound >= incumbent_z
+        if obj_integral:
+            b_eff = math.ceil(float(bound) - prune_margin() - 1e-9)
+            return b_eff >= incumbent_z
         return float(bound) >= float(incumbent_z) + prune_margin()
 
     def exact_incumbent_check(node_sf: StandardForm, basis
@@ -645,11 +676,17 @@ def solve_milp(
         # prune threshold on the tableau CORNER (-z_rel): expand only lanes
         # strictly above it. Computed ONCE from the exact incumbent at
         # chain start — device pruning never trusts an unverified bound.
+        # With an integral objective the threshold tightens by ~1 (bound
+        # rounding: a subtree at z > inc - 1 + margin cannot beat inc);
+        # imprecision here only wastes expansion — the host re-checks
+        # every node with cannot_improve when reconciling.
         if incumbent_z is None:
             cut = -np.inf
         else:
-            cut = float(root_sf.obj_const) - (
-                float(incumbent_z) + prune_margin())
+            thr = float(incumbent_z) + prune_margin()
+            if obj_integral:
+                thr = float(incumbent_z) - 1.0 + prune_margin() + 1e-6
+            cut = float(root_sf.obj_const) - thr
         gdt = template.T.dtype
         le_c, le_s, ge_c, ge_s = gen_meta
         Ws = summ0.shape[1]
