@@ -95,18 +95,25 @@ class TestMeshMilp:
     def test_set_cover_parity_1_vs_8_devices(self):
         """The VERDICT item's acceptance test: a set-cover MILP solves
         IDENTICALLY on 1 device and on the 8-virtual-device mesh."""
-        # device_generations=0 on the solo side: mesh waves are chain-
-        # ineligible, so the node-count comparison needs the same scheduler
+        # chainless on BOTH sides: exact node-count parity needs the same
+        # scheduler (mesh waves chain by default since late r5)
         ref, st0 = solve_milp(_set_cover(seed=1), batch_size=16,
                               device_generations=0, return_stats=True)
         sol, st = solve_milp(_set_cover(seed=1), batch_size=16,
-                             mesh=_mesh_2d(), return_stats=True)
+                             device_generations=0, mesh=_mesh_2d(),
+                             return_stats=True)
         assert sol.status == ref.status == "optimal"
         assert sol.objective == ref.objective
         assert sol.x == ref.x
         # the run exercised real waves (warm starts included), not just a
         # root solve
         assert st.nodes_solved == st0.nodes_solved >= 3
+        # and the CHAINED mesh scheduler lands the same optimum too
+        csol, cst = solve_milp(_set_cover(seed=1), batch_size=16,
+                               mesh=_mesh_2d(), return_stats=True)
+        assert csol.status == "optimal"
+        assert csol.objective == ref.objective
+        assert cst.gen_waves > 0  # mesh waves actually chained
 
     def test_batch_only_mesh(self):
         ref = solve_milp(_set_cover(seed=2), batch_size=16)

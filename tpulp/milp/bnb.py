@@ -246,8 +246,10 @@ def solve_milp(
     incumbent from the chain's start (never an unverified float one), and
     incumbent candidates are exact-verified on the host as always.
     Automatically disabled where its preconditions fail (exact refine
-    mode, pseudocost branching, mesh solving, integer bounds beyond
-    +-2^20); set to 0/1 to disable explicitly.
+    mode, pseudocost branching, integer bounds beyond +-2^20); set to
+    0/1 to disable explicitly. Mesh waves chain too — the expansion
+    executable is plain batched jax ops, so GSPMD compiles it over the
+    sharded template like every other wave executable.
 
     ``mesh`` (round 5, VERDICT r4 item 3) runs every B&B wave MULTI-CHIP:
     the batched node states (device template, cold/warm/resume waves) are
@@ -407,8 +409,11 @@ def solve_milp(
     # bounding mode, most-fractional branching, single-device waves, and
     # branch values guaranteed f32-exact (bounds within +-2^20 — the same
     # EXACT_BRANCH_ABOVE threshold the host path trusts floats below)
+    # mesh waves chain too (r5 late): the expansion executable is plain
+    # batched jax ops, so GSPMD compiles it over the sharded template like
+    # every other wave executable (parity pinned on the fake cluster)
     gen_ok = (device_generations > 1 and not exact_mode and pc is None
-              and mesh is None and bool(branch_names)
+              and bool(branch_names)
               and all(abs(lb) <= 2**20 and abs(ub) <= 2**20
                       for lb, ub in root_bounds.values()))
     gen_meta = None  # (le_col, le_sign, ge_col, ge_sign) device arrays
