@@ -103,3 +103,16 @@ class TestCli:
         assert out["status"] == "optimal"
         assert out["objective"] == "371"          # 365 + 2*3
         assert out["x"]["fix"] == "3"             # recovered fixed var
+
+    def test_milp_time_limit_and_gap_flags(self):
+        # late r5: the production early-exit controls over the CLI
+        res = run_cli(["solve", "data/mps/knap20.mps", "--time-limit", "0"])
+        assert res.returncode == 0, res.stderr
+        assert json.loads(res.stdout)["status"] == "time_limit"
+        res = run_cli(["solve", "data/mps/knap20.mps", "--gap", "0.9"])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        # generous gap: either proven optimal before the first boundary
+        # check or an early gap_limit carrying the incumbent + proven gap
+        assert out["status"] in ("optimal", "gap_limit")
+        assert "objective" in out

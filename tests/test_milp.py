@@ -411,6 +411,72 @@ class TestSetCoverFamily:
         assert full.objective == self._brute(covers, costs, n_elems)
 
 
+class TestEarlyStopControls:
+    """time_limit / gap_tol (late r5): the standard production MILP
+    early-exit controls. 'optimal' stays reserved for gap-zero proofs —
+    early stops say so in the status and carry the proven mip_gap."""
+
+    def _hard_knapsack(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        n = 25
+        values = [int(v) for v in rng.integers(10, 60, size=n)]
+        weights = [int(w) for w in rng.integers(5, 25, size=n)]
+        cap = int(sum(weights) * 0.4)
+        return knapsack(values, weights, cap), values, weights, cap
+
+    def test_time_limit_zero_stops_immediately(self):
+        lp, *_ = self._hard_knapsack()
+        sol = solve_milp(lp, time_limit=0.0)
+        assert sol.status == "time_limit"
+        assert sol.x is None  # no wave ran, no incumbent
+
+    def test_generous_time_limit_solves_to_optimal(self):
+        lp = knapsack([10, 13, 7, 8], [5, 6, 4, 3], 10)
+        sol = solve_milp(lp, time_limit=600.0)
+        assert sol.status == "optimal"
+        assert sol.objective == 21
+        assert sol.mip_gap == 0.0
+
+    def test_gap_tol_returns_incumbent_within_proven_gap(self):
+        lp, values, weights, cap = self._hard_knapsack()
+        # tiny waves so the tree takes many boundaries; a generous gap
+        # tolerance must end the search with an exact-verified incumbent
+        # whose PROVEN gap is within the tolerance
+        sol = solve_milp(lp, gap_tol=0.5, batch_size=4)
+        opt = dp_knapsack_oracle(values, weights, cap)
+        if sol.status == "gap_limit":
+            assert sol.mip_gap is not None and 0.0 <= sol.mip_gap <= 0.5
+            assert sol.objective is not None
+            # the incumbent is feasible and exactly integral
+            assert sum(w for i, w in enumerate(weights)
+                       if sol.x[f"x{i}"] == 1) <= cap
+            assert all(sol.x[f"x{i}"] in (0, 1) for i in range(len(values)))
+            assert sol.objective <= opt
+        else:  # the tree may prove exact optimality before any boundary
+            assert sol.status == "optimal"
+            assert sol.objective == opt
+
+    def test_gap_tol_zero_keeps_exact_semantics(self):
+        lp = knapsack([10, 13, 7, 8], [5, 6, 4, 3], 10)
+        sol = solve_milp(lp, gap_tol=0.0)
+        assert sol.status == "optimal" and sol.objective == 21
+
+    def test_time_limit_composes_with_presolve(self):
+        lp, *_ = self._hard_knapsack()
+        lp.vars["x0"].boundAbove(0)  # give presolve something to remove
+        sol = lp.solve(presolve=True, time_limit=0.0)
+        assert sol.status == "time_limit"
+
+    def test_spans_rejects_limits_loudly(self):
+        lp = knapsack([10, 13, 7, 8], [5, 6, 4, 3], 10)
+        with pytest.raises(ValueError, match="spans"):
+            solve_milp(lp, node_encoding="spans", time_limit=5.0)
+        with pytest.raises(ValueError, match="spans"):
+            solve_milp(lp, node_encoding="spans", gap_tol=0.1)
+
+
 def test_pool_overflow_falls_back_to_cold_solves(monkeypatch):
     """With the warm-start state pool shrunk to ONE slot, most children
     must cold-solve (mixed warm/cold waves, deferred-write flushes) and the

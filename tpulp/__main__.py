@@ -93,12 +93,20 @@ def _cmd_solve(args) -> int:
         dg = getattr(args, "device_generations", None)
         if dg is not None:
             kwargs["device_generations"] = dg
+        if getattr(args, "time_limit", None) is not None:
+            kwargs["time_limit"] = args.time_limit
+        if getattr(args, "gap_tol", 0.0):
+            kwargs["gap_tol"] = args.gap_tol
     sol = prog.solve(presolve=args.presolve, **kwargs)
     out = {"status": sol.status}
-    if sol.is_optimal:
+    if sol.is_optimal or sol.x is not None:
+        # early-stopped MILP solves (time_limit/gap_limit/node_limit)
+        # still carry their best exact-verified incumbent
         out["objective"] = str(sol.objective)
         out["x"] = {k: str(v) for k, v in (sol.x or {}).items()}
         out["iterations"] = sol.niter
+    if sol.mip_gap is not None and sol.mip_gap > 0:
+        out["mip_gap"] = sol.mip_gap
     print(json.dumps(out))
     return 0
 
@@ -203,6 +211,16 @@ def main(argv=None) -> int:
                          "condition needs a bounded-state dual simplex with "
                          "device node templates, which is not built. Keep "
                          "the default unless reproducing that analysis")
+    p1.add_argument("--time-limit", type=float, default=None,
+                    dest="time_limit",
+                    help="MILP wall-clock budget in seconds (checked at "
+                         "wave boundaries); returns the best incumbent "
+                         "with status 'time_limit' and its proven mip_gap")
+    p1.add_argument("--gap", type=float, default=0.0, dest="gap_tol",
+                    help="MILP relative optimality-gap stop: end the "
+                         "search once the proven gap between the exact "
+                         "incumbent and the best open bound is <= this "
+                         "(status 'gap_limit'; 'optimal' stays gap-zero)")
     p1.add_argument("--pricing", default="default",
                     choices=["default", "devex"],
                     help="device pricing rule for LP solves (devex: far "

@@ -216,6 +216,8 @@ def solve_milp(
     dtype=jnp.float64,
     batch_size: int = 64,
     max_nodes: int = 100_000,
+    time_limit: Optional[float] = None,
+    gap_tol: float = 0.0,
     refine: str = "auto",
     exact_max_m: int = 32,
     int_tol: float = 1e-6,
@@ -266,9 +268,18 @@ def solve_milp(
     ``resume_from`` restarts from such a file — the device analogue of the
     reference's load-then-construct resume (SURVEY §5 checkpoint/resume).
 
-    Returns a Solution (status optimal / infeasible / unbounded / node_limit)
-    in the original sense/variables; with ``return_stats=True`` returns
-    ``(Solution, BnbStats)``.
+    Returns a Solution (status optimal / infeasible / unbounded /
+    node_limit / time_limit / gap_limit) in the original sense/variables;
+    with ``return_stats=True`` returns ``(Solution, BnbStats)``.
+
+    ``time_limit`` (seconds of wall clock, checked at wave boundaries —
+    a single in-flight wave may overrun it) and ``gap_tol`` (stop once
+    the PROVEN relative optimality gap between the exact incumbent and
+    the best open node bound is <= this) are the standard production
+    early-exit controls. Both return the incumbent with ``mip_gap`` set
+    to the proven gap and a status that SAYS the solve stopped early
+    ('time_limit' / 'gap_limit') — 'optimal' remains reserved for
+    gap-zero proofs, unlike solvers that report OPTIMAL within MIPGap.
 
     ``refine``: 'exact' refines every node's objective in rationals (O(m^3)
     rational Gauss per node — measured ~0.1 s/node at m=57, i.e. it walls at
@@ -285,6 +296,14 @@ def solve_milp(
     variable (a bandwidth choice), so waves there keep most-fractional
     selection while pseudocost LEARNING still runs from node bounds.
     """
+    _t_solve0 = time.perf_counter()
+
+    def _time_left():
+        """Remaining wall budget to pass into recursive sub-solves."""
+        if time_limit is None:
+            return None
+        return max(0.0, time_limit - (time.perf_counter() - _t_solve0))
+
     if options is None:
         options = SolverOptions.for_dtype(dtype)
     if opt_overrides:
@@ -310,6 +329,7 @@ def solve_milp(
         if res.unbounded_if_feasible:
             feas = solve_milp(res.prog, options=options, dtype=dtype,
                               batch_size=batch_size, max_nodes=max_nodes,
+                              time_limit=_time_left(),
                               refine=refine, exact_max_m=exact_max_m,
                               int_tol=int_tol, presolve=False)
             if feas.status == "infeasible":
@@ -330,6 +350,7 @@ def solve_milp(
         if res.fixed or res.removed_rows or res.removed_vars:
             out = solve_milp(res.prog, options=options, dtype=dtype,
                              batch_size=batch_size, max_nodes=max_nodes,
+                             time_limit=_time_left(), gap_tol=gap_tol,
                              refine=refine, exact_max_m=exact_max_m,
                              int_tol=int_tol, return_stats=return_stats,
                              checkpoint_path=checkpoint_path,
@@ -374,6 +395,9 @@ def solve_milp(
         if checkpoint_path is not None or resume_from is not None:
             raise ValueError("node_encoding='spans' does not support "
                              "checkpoint/resume yet; use 'rows'")
+        if time_limit is not None or gap_tol > 0.0:
+            raise ValueError("node_encoding='spans' does not support "
+                             "time_limit/gap_tol; use 'rows'")
         from .spans import solve_milp_spans
 
         return solve_milp_spans(
@@ -957,7 +981,19 @@ def solve_milp(
         stats.t_process += time.perf_counter() - _tp1
         return True
 
+    stop_reason: Optional[str] = None
     while frontier and stats.nodes_solved < max_nodes:
+        if time_limit is not None and \
+                time.perf_counter() - _t_solve0 >= time_limit:
+            stop_reason = "time_limit"
+            break
+        if gap_tol > 0.0 and incumbent is not None:
+            best_open = min(zf for zf, *_ in frontier)
+            inc_f = float(incumbent_z)
+            if max(0.0, (inc_f - best_open) / max(abs(inc_f), 1.0)) \
+                    <= gap_tol:
+                stop_reason = "gap_limit"
+                break
         _tw0 = time.perf_counter()
         wave: List[Tuple] = []
         while frontier and len(wave) < batch_size:
@@ -1423,18 +1459,22 @@ def solve_milp(
     if root_unbounded:
         sol = Solution(status="unbounded")
     elif incumbent is not None:
-        # a nonempty frontier means we stopped on max_nodes: the incumbent
-        # is feasible but not proven optimal — report the PROVEN optimality
-        # gap against the best open node bound (min sense)
+        # a nonempty frontier means the solve stopped early (max_nodes /
+        # time_limit / gap_tol): the incumbent is feasible but not proven
+        # optimal — report the PROVEN optimality gap against the best
+        # open node bound (min sense), under the status naming the reason
         if frontier:
             best_open = min(zf for zf, *_ in frontier)
             inc_f = float(incumbent_z)
             gap = max(0.0, (inc_f - best_open) / max(abs(inc_f), 1.0))
-            sol = dataclasses.replace(incumbent, status="node_limit",
+            sol = dataclasses.replace(incumbent,
+                                      status=stop_reason or "node_limit",
                                       mip_gap=gap)
         else:
             sol = dataclasses.replace(incumbent, status="optimal",
                                       mip_gap=0.0)
+    elif stop_reason is not None:
+        sol = Solution(status=stop_reason)
     elif stats.nodes_solved >= max_nodes:
         sol = Solution(status="node_limit")
     else:
