@@ -147,9 +147,24 @@ def solve_standard_form(
     driver: str = "auto",
     block: int = 64,
     scale: str = "auto",
+    warm_basis=None,
     _depth: int = 0,
 ) -> Solution:
     """Solve a lowered StandardForm on the device path.
+
+    ``warm_basis`` (late r5): a basis (augmented-column indices, e.g.
+    ``Solution.basis`` from a prior solve of a same-structure program)
+    to START from instead of the slack/artificial basis — the production
+    re-solve path for RHS/objective changes. The frame is reconstructed
+    against the CURRENT data (``tpulp.solve.dual.warm_state_from_basis``,
+    the same machinery B&B children warm-start with,
+    /root/reference lpsol simplex.py:46-47 load-then-construct analogue);
+    a primal-feasible frame continues with the selected primal engine, a
+    dual-feasible one re-optimizes with the dual simplex, and a frame
+    that is neither (or is singular) falls back to the cold start. The
+    refinement/certificate/ladder contract is unchanged — escalations
+    re-solve cold. Solo tableau path only: raises with ``mesh`` or a
+    bounded (``simple_bounds``) lowering.
 
     ``scale`` controls geometric-mean power-of-two equilibration of the
     DEVICE data (``tpulp.model.equilibrate``): ``'auto'`` (default)
@@ -221,6 +236,11 @@ def solve_standard_form(
     state = make_state(c_d, A_d, b_d, sf.basis_hint, dtype=dtype)
     bounded = sf.upper is not None and any(
         u is not None for u in sf.upper)
+    if warm_basis is not None and (bounded or mesh is not None):
+        raise ValueError(
+            "warm_basis is supported on the solo tableau path only "
+            "(bounded-variable bases carry at_upper flags and sharded "
+            "frames a distributed layout; re-solve cold there)")
     if pricing == "default" and not bounded and (
             mesh is None or shard_driver == "blocked"):
         # auto-select devex for equality-heavy shapes, the same way engines
@@ -300,7 +320,42 @@ def solve_standard_form(
     else:
         if pricing not in ("default", "devex"):
             raise ValueError(f"unknown pricing {pricing!r}")
+        warm_out = None
+        if warm_basis is not None:
+            wb = np.asarray(warm_basis, np.int32)
+            if wb.shape != (state.m,) or (wb.size and (
+                    int(wb.min()) < 0 or int(wb.max()) >= state.n)):
+                raise ValueError(
+                    f"warm_basis must be {state.m} augmented-column "
+                    f"indices in [0, {state.n}) for this program "
+                    f"structure; got shape {wb.shape}")
+            from .dual import run_dual_simplex, warm_state_from_basis
+
+            # the warm frame starts in phase 2: artificial columns (still
+            # priceable in the cold state's phase 1) must not be
+            active_cols = state.col_active & ~state.art_cols
+            frame = warm_state_from_basis(
+                state.T[2:, :-1], state.T[0, :-1], active_cols,
+                state.art_cols, wb, state.T[2:, -1])
+            if bool(jnp.all(jnp.isfinite(frame.T))):
+                bvals = np.asarray(frame.T[2:, -1])
+                red = np.asarray(frame.T[0, :-1])
+                active = np.asarray(active_cols)
+                primal_ok = bool(bvals.min(initial=0.0)
+                                 >= -options.feas_tol)
+                dual_ok = bool(red[active].min(initial=0.0)
+                               >= -options.opt_tol)
+                if primal_ok:
+                    # canonical frame: continue with the primal engine
+                    state = frame
+                elif dual_ok:
+                    # RHS moved (the B&B-child shape): dual re-optimize
+                    warm_out = run_dual_simplex(frame, options)
+            # singular basis / neither-feasible frame: cold start
         eng = driver
+        if warm_out is not None:
+            out = warm_out
+            eng = "warm-dual"
         if eng == "auto":
             import jax
 
@@ -315,7 +370,9 @@ def solve_standard_form(
                 eng = "pallas"
             else:
                 eng = "blocked"
-        if eng == "rank1":
+        if eng == "warm-dual":
+            pass  # `out` already holds the dual re-optimized terminal state
+        elif eng == "rank1":
             if pricing == "devex":
                 from .devex import run_simplex_devex
 
@@ -542,9 +599,20 @@ def solve_lp(
     driver: str = "auto",
     block: int = 64,
     scale: str = "auto",
+    warm_start: Optional[Solution] = None,
     **opt_overrides,
 ) -> Solution:
     """Solve an LP (ignoring any integrality) on the TPU device path.
+
+    ``warm_start`` (late r5): a prior ``Solution`` of a SAME-STRUCTURE
+    program (same variables/constraints; RHS, objective, or both may
+    have changed) — its terminal basis seeds the new solve instead of a
+    cold two-phase start. RHS-only changes re-optimize with the dual
+    simplex (the B&B warm-start engine, typically a handful of pivots);
+    objective-only changes continue with the primal engine from the
+    still-feasible frame; a basis that fits neither falls back to a cold
+    solve. Exactness is untouched — the warm terminal basis goes through
+    the same refinement + certificate + escalation pipeline.
 
     ``simple_bounds=True`` lowers finite variable upper bounds WITHOUT
     tableau rows and solves with the bounded-variable simplex
@@ -567,12 +635,21 @@ def solve_lp(
     is_prog = not isinstance(prog, StandardForm)
     sf = lower_to_standard_form(prog, simple_bounds=simple_bounds) \
         if is_prog else prog
+    warm_basis = None
+    if warm_start is not None:
+        if warm_start.basis is None:
+            raise ValueError(
+                "warm_start solution carries no basis (presolve-reduced, "
+                "early-stopped, or status-only solves don't); re-solve "
+                "cold or keep a basis-bearing Solution")
+        warm_basis = warm_start.basis
     sol = solve_standard_form(sf, options=options, dtype=dtype,
                               refine=refine, fallback=fallback, duals=duals,
                               mesh=mesh, shard_axis=shard_axis,
                               shard_driver=shard_driver,
                               shard_block=shard_block, pricing=pricing,
-                              driver=driver, block=block, scale=scale)
+                              driver=driver, block=block, scale=scale,
+                              warm_basis=warm_basis)
     if duals and is_prog and sol.y is not None:
         from .refine import original_sensitivity
 
