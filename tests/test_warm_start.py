@@ -134,6 +134,27 @@ def test_bounded_and_mesh_paths_reject_loudly():
         solve_lp(lp, warm_start=sol, mesh=make_mesh(2))
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_randomized_warm_cold_parity(seed):
+    """Frozen fuzz slice: random bounded LP, random RHS x objective
+    perturbation, warm-vs-cold objective parity (exact at this size) and
+    matching statuses. A wider offline sweep (40 seeds) ran clean when
+    the feature landed; these 8 are the regression slice."""
+    rng = np.random.default_rng(1000 + seed)
+    m, n = int(rng.integers(6, 16)), int(rng.integers(5, 12))
+    lp = _dense_leq_lp(seed, m=m, n=n)
+    sol = solve_lp(lp)
+    assert sol.status == "optimal"
+    b_scale = 1.0 + rng.uniform(-0.3, 0.2, size=m)
+    c2 = -(np.abs(rng.normal(size=n)) + 0.1) if rng.random() < 0.5 else None
+    lp2 = _dense_leq_lp(seed, m=m, n=n, b_scale=b_scale, c_override=c2)
+    cold = solve_lp(lp2)
+    warm = solve_lp(lp2, warm_start=sol)
+    assert warm.status == cold.status
+    if cold.status == "optimal":
+        assert warm.objective == cold.objective
+
+
 def test_garbage_basis_falls_back_to_cold():
     """A structurally valid but singular/nonsense basis must not corrupt
     the answer — the frame check falls back to the cold start."""
