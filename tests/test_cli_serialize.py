@@ -104,6 +104,28 @@ class TestCli:
         assert out["objective"] == "371"          # 365 + 2*3
         assert out["x"]["fix"] == "3"             # recovered fixed var
 
+    def test_save_and_warm_basis_round_trip(self, tmp_path):
+        # late r5: basis persistence across CLI invocations
+        path = str(tmp_path / "m.json")
+        bpath = str(tmp_path / "basis.json")
+        save_prog(path, sample_prog())
+        res = run_cli(["solve", path, "--save-basis", bpath])
+        assert res.returncode == 0, res.stderr
+        cold = json.loads(res.stdout)
+        assert cold["status"] == "optimal"
+        import os
+        assert os.path.exists(bpath)
+        res2 = run_cli(["solve", path, "--warm-basis", bpath])
+        assert res2.returncode == 0, res2.stderr
+        warm = json.loads(res2.stdout)
+        assert warm["status"] == "optimal"
+        assert warm["objective"] == cold["objective"]
+        assert warm["iterations"] == 0  # same data: already optimal
+        # loud rejection with presolve (basis column space changes)
+        res3 = run_cli(["solve", path, "--warm-basis", bpath, "--presolve"])
+        assert res3.returncode == 2
+        assert "presolve" in res3.stderr
+
     def test_milp_time_limit_and_gap_flags(self):
         # late r5: the production early-exit controls over the CLI
         res = run_cli(["solve", "data/mps/knap20.mps", "--time-limit", "0"])

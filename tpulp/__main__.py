@@ -79,6 +79,20 @@ def _cmd_solve(args) -> int:
         return 0
 
     kwargs = {}
+    if getattr(args, "warm_basis", None) and not prog.isMixedInteger():
+        # a basis saved by --save-basis warm-starts this re-solve
+        # (tpulp.solve.api warm_basis; presolve would change the
+        # column space, so the two options are mutually exclusive)
+        from .solve.api import Solution as _Sol
+
+        if args.presolve:
+            print("error: --warm-basis does not compose with --presolve "
+                  "(presolve changes the basis column space)",
+                  file=sys.stderr)
+            return 2
+        with open(args.warm_basis) as fh:
+            wb = json.load(fh)["basis"]
+        kwargs["warm_start"] = _Sol(status="optimal", basis=wb)
     if getattr(args, "pricing", "default") != "default" \
             and not prog.isMixedInteger():
         kwargs["pricing"] = args.pricing
@@ -107,6 +121,9 @@ def _cmd_solve(args) -> int:
         out["iterations"] = sol.niter
     if sol.mip_gap is not None and sol.mip_gap > 0:
         out["mip_gap"] = sol.mip_gap
+    if getattr(args, "save_basis", None) and sol.basis is not None:
+        with open(args.save_basis, "w") as fh:
+            json.dump({"basis": list(map(int, sol.basis))}, fh)
     print(json.dumps(out))
     return 0
 
@@ -211,6 +228,13 @@ def main(argv=None) -> int:
                          "condition needs a bounded-state dual simplex with "
                          "device node templates, which is not built. Keep "
                          "the default unless reproducing that analysis")
+    p1.add_argument("--save-basis", default=None, dest="save_basis",
+                    help="write the terminal basis (augmented-column "
+                         "indices, JSON) for later --warm-basis re-solves")
+    p1.add_argument("--warm-basis", default=None, dest="warm_basis",
+                    help="warm-start an LP re-solve from a basis saved by "
+                         "--save-basis on a SAME-STRUCTURE model (RHS/"
+                         "objective edits); not compatible with --presolve")
     p1.add_argument("--time-limit", type=float, default=None,
                     dest="time_limit",
                     help="MILP wall-clock budget in seconds (checked at "
