@@ -155,6 +155,83 @@ def test_randomized_warm_cold_parity(seed):
         assert warm.objective == cold.objective
 
 
+class TestBatchWarmScenarios:
+    """``solve_lp_batch(scenarios, warm_start=sol)`` — one dual-simplex
+    wave over same-structure RHS scenarios (late r5)."""
+
+    def _scenarios(self, seed=3, k=5):
+        base = _dense_leq_lp(seed)
+        scens = []
+        for i in range(k):
+            sc = 1.0 + np.random.default_rng(i).uniform(-0.2, 0.1, size=12)
+            scens.append(_dense_leq_lp(seed, b_scale=sc))
+        return base, scens
+
+    def test_parity_with_solo_cold_solves(self):
+        from tpulp.batch import solve_lp_batch
+
+        base, scens = self._scenarios()
+        sol = solve_lp(base)
+        warm = solve_lp_batch(scens, warm_start=sol)
+        colds = [solve_lp(p) for p in scens]
+        for w, c in zip(warm, colds):
+            assert w.status == c.status == "optimal"
+            assert w.objective == c.objective  # exact refinement
+        assert sum(w.niter for w in warm) < sum(c.niter for c in colds)
+
+    def test_infeasible_scenario_lane_confirmed_solo(self):
+        from tpulp.batch import solve_lp_batch
+
+        def box(lo):
+            lp = LinProg()
+            lp.addVar("x")
+            lp.addVar("y")
+            lp.minimize(LinExpr(1, "x", 2, "y"))
+            lp.addConstraint(LinExpr(1, "x", 1, "y").constraintLeq(4))
+            lp.addConstraint(LinExpr(1, "x", 1, "y").constraintGeq(lo))
+            return lp
+
+        sol = solve_lp(box(1))
+        assert sol.status == "optimal"
+        # same lowering layout (both RHS positive), one impossible lane
+        out = solve_lp_batch([box(2), box(100)], warm_start=sol)
+        assert out[0].status == "optimal"
+        assert out[0].objective == 2
+        assert out[1].status == "infeasible"
+
+    def test_negative_rhs_scenario_rejected_as_layout_change(self):
+        """A scenario whose RHS flips sign lowers to a DIFFERENT layout
+        (row negation + surplus), so the structure check must reject it
+        rather than warm-start against the wrong frame."""
+        from tpulp.batch import solve_lp_batch
+
+        base, scens = self._scenarios(k=2)
+        sol = solve_lp(base)
+        scens[1] = _dense_leq_lp(3, b_scale=np.full(12, -1.0))
+        with pytest.raises(ValueError, match="SAME-STRUCTURE"):
+            solve_lp_batch(scens, warm_start=sol)
+
+    def test_structure_mismatch_raises(self):
+        from tpulp.batch import solve_lp_batch
+
+        base, scens = self._scenarios(k=2)
+        sol = solve_lp(base)
+        scens[1] = _dense_leq_lp(9)  # different A/c, same shape
+        with pytest.raises(ValueError, match="SAME-STRUCTURE"):
+            solve_lp_batch(scens, warm_start=sol)
+
+    def test_mesh_and_simple_bounds_reject(self):
+        from tpulp.batch import solve_lp_batch
+        from tpulp.shard import make_mesh
+
+        base, scens = self._scenarios(k=2)
+        sol = solve_lp(base)
+        with pytest.raises(ValueError, match="row-form"):
+            solve_lp_batch(scens, warm_start=sol, mesh=make_mesh(2))
+        with pytest.raises(ValueError, match="row-form"):
+            solve_lp_batch(scens, warm_start=sol, simple_bounds=True)
+
+
 def test_garbage_basis_falls_back_to_cold():
     """A structurally valid but singular/nonsense basis must not corrupt
     the answer — the frame check falls back to the cold start."""

@@ -280,9 +280,23 @@ def solve_lp_batch(
     mesh=None,
     batch_axis: str = "batch",
     cols_axis: str = "cols",
+    warm_start=None,
     **opt_overrides,
 ) -> List[Solution]:
     """Solve a batch of LPs in one device call; one Solution per problem.
+
+    ``warm_start`` (late r5): a prior ``Solution`` of the SAME-STRUCTURE
+    program — the batch must share one constraint matrix / objective /
+    lowering layout and differ ONLY in RHS (the scenario-analysis shape).
+    All lanes warm-start from its basis through ONE compiled dual-simplex
+    wave (``tpulp.solve.dual.run_warm_batch`` — the B&B child engine),
+    then refine/certify per lane as usual; lanes the wave cannot settle
+    (infeasible verdicts, failed certificates) re-solve solo through the
+    ladder so statuses keep solve_lp's confirmation semantics. Plain
+    row-form path only (no mesh / simple_bounds). Note: an RHS change
+    that flips a constraint's sign lowers to a DIFFERENT layout (row
+    negation + surplus), which the structure check rejects — scenarios
+    must keep each RHS on its base sign.
 
     ``driver='blocked'`` routes the wave through the vmapped rank-K eta
     driver (``solve.blocked.run_simplex_blocked_batch``) — the right engine
@@ -330,6 +344,14 @@ def solve_lp_batch(
     results: List[Solution] = [Solution(status="infeasible")] * len(sfs)
     if not solvable:
         return (results, None, [-1] * len(sfs)) if return_state else results
+
+    if warm_start is not None:
+        if simple_bounds or mesh is not None:
+            raise ValueError(
+                "warm_start batching supports the plain row-form batch "
+                "path only (no mesh, no simple_bounds)")
+        return _solve_batch_warm(sfs, solvable, warm_start, options,
+                                 dtype, refine, results, return_state)
 
     sf_batch = [sfs[i] for i in solvable]
     if pad_to is not None and len(sf_batch) < pad_to:
@@ -401,6 +423,68 @@ def solve_lp_batch(
         [sfs[i] for i in solvable], out, refine)
     for k, i in enumerate(solvable):
         results[i] = extracted[k]
+    if return_state:
+        lane_of = [-1] * len(sfs)
+        for k, i in enumerate(solvable):
+            lane_of[i] = k
+        return results, out, lane_of
+    return results
+
+
+def _solve_batch_warm(sfs, solvable, warm_start, options, dtype, refine,
+                      results, return_state):
+    """One warm dual-simplex wave over same-structure RHS scenarios.
+
+    Shared root frame + per-lane b + the warm basis tiled across lanes —
+    exactly ``run_warm_batch``'s (B&B child) contract. Lanes whose wave
+    verdict is anything but a certified optimum re-solve solo through
+    ``solve_standard_form`` so the batch keeps the ladder's status-
+    confirmation semantics.
+    """
+    from ..solve.api import solve_standard_form
+    from ..solve.dual import run_warm_batch
+
+    if warm_start.basis is None:
+        raise ValueError(
+            "warm_start solution carries no basis (status-only or "
+            "presolve-reduced solves don't); re-solve cold")
+    dense = {i: sfs[i].to_dense(np.float64) for i in solvable}
+    sf0 = sfs[solvable[0]]
+    c0, A0, b0 = dense[solvable[0]]
+    for i in solvable[1:]:
+        sf = sfs[i]
+        ci, Ai, _ = dense[i]
+        if (sf.m != sf0.m or sf.n != sf0.n
+                or list(sf.basis_hint) != list(sf0.basis_hint)
+                or not np.array_equal(Ai, A0)
+                or not np.array_equal(ci, c0)):
+            raise ValueError(
+                "warm_start batching requires SAME-STRUCTURE scenarios "
+                "(identical constraint matrix, objective, and lowering "
+                f"layout; program {i} differs — only the RHS may vary)")
+    st0 = make_state(c0, A0, b0, sf0.basis_hint, dtype=dtype)
+    wb = np.asarray(warm_start.basis, np.int32)
+    if wb.shape != (st0.m,) or (wb.size and (
+            int(wb.min()) < 0 or int(wb.max()) >= st0.n)):
+        raise ValueError(
+            f"warm_basis must be {st0.m} augmented-column indices in "
+            f"[0, {st0.n}) for this program structure; got shape "
+            f"{wb.shape}")
+    # phase-2 frames: artificial columns must not be priceable
+    active = st0.col_active & ~st0.art_cols
+    b_mat = np.stack([dense[i][2] for i in solvable])
+    basis_mat = np.tile(wb, (len(solvable), 1))
+    out = run_warm_batch(st0.T[2:, :-1], st0.T[0, :-1], active,
+                         st0.art_cols, basis_mat, b_mat, opts=options)
+    extracted = extract_batch_solutions(
+        [sfs[i] for i in solvable], out, refine)
+    for k, i in enumerate(solvable):
+        sol = extracted[k]
+        if sol.status != "optimal":
+            # float wave verdicts are unconfirmed; the solo ladder decides
+            sol = solve_standard_form(sfs[i], options=options, dtype=dtype,
+                                      refine=refine)
+        results[i] = sol
     if return_state:
         lane_of = [-1] * len(sfs)
         for k, i in enumerate(solvable):
