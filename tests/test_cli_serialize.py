@@ -126,6 +126,67 @@ class TestCli:
         assert res3.returncode == 2
         assert "presolve" in res3.stderr
 
+    def test_ranging_flag(self, tmp_path):
+        # round-5 sensitivity surface: --ranging emits exact intervals
+        path = str(tmp_path / "m.json")
+        lp = LinProg("wyndor")
+        lp.addVar("x")
+        lp.addVar("y")
+        lp.maximize(LinExpr(3, "x", 5, "y"))
+        lp.addConstraint(LinExpr(1, "x").constraintLeq(4), name="p1")
+        lp.addConstraint(LinExpr(2, "y").constraintLeq(12), name="p2")
+        lp.addConstraint(LinExpr(3, "x", 2, "y").constraintLeq(18),
+                         name="p3")
+        save_prog(path, lp)
+        res = run_cli(["solve", path, "--ranging"])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        assert out["status"] == "optimal" and out["objective"] == "36"
+        assert out["cost_ranging"]["x"] == ["0", "15/2"]
+        assert out["cost_ranging"]["y"] == ["2", None]
+        assert out["rhs_ranging"]["p2"] == ["6", "18"]
+        assert out["rhs_ranging"]["p1"] == ["2", None]
+        # loud rejection with presolve (reductions change the data the
+        # intervals describe)
+        res2 = run_cli(["solve", path, "--ranging", "--presolve"])
+        assert res2.returncode == 2
+        assert "presolve" in res2.stderr
+
+    def test_certificates_flag(self, tmp_path):
+        from fractions import Fraction as F
+
+        from tpulp.model.lower import lower_to_standard_form
+        from tpulp.solve import verify_farkas
+
+        path = str(tmp_path / "bad.json")
+        lp = LinProg()
+        lp.addVar("x")
+        lp.minimize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(1, "x").constraintGeq(3))
+        lp.addConstraint(LinExpr(1, "x").constraintLeq(1))
+        save_prog(path, lp)
+        res = run_cli(["solve", path, "--certificates"])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        assert out["status"] == "infeasible"
+        y = [F(v) for v in out["farkas"]]
+        assert verify_farkas(lower_to_standard_form(load_prog(path)), y)
+
+    def test_iis_flag(self, tmp_path):
+        path = str(tmp_path / "bad.json")
+        lp = LinProg()
+        lp.addVar("x")
+        lp.minimize(LinExpr(1, "x"))
+        lp.addConstraint(LinExpr(1, "x").constraintGeq(3), name="hi")
+        lp.addConstraint(LinExpr(1, "x").constraintLeq(1), name="lo")
+        lp.addConstraint(LinExpr(1, "x").constraintLeq(7))
+        save_prog(path, lp)
+        res = run_cli(["solve", path, "--iis"])
+        assert res.returncode == 0, res.stderr
+        out = json.loads(res.stdout)
+        assert out["status"] == "infeasible"
+        assert sorted(out["iis"]) == ["hi", "lo"]
+
     def test_milp_time_limit_and_gap_flags(self):
         # late r5: the production early-exit controls over the CLI
         res = run_cli(["solve", "data/mps/knap20.mps", "--time-limit", "0"])

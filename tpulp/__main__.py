@@ -93,6 +93,30 @@ def _cmd_solve(args) -> int:
         with open(args.warm_basis) as fh:
             wb = json.load(fh)["basis"]
         kwargs["warm_start"] = _Sol(status="optimal", basis=wb)
+    if getattr(args, "ranging", False):
+        if prog.isMixedInteger():
+            print("error: --ranging applies to LPs only (a MILP optimum "
+                  "has no basis whose optimality an interval could "
+                  "preserve)", file=sys.stderr)
+            return 2
+        if args.presolve:
+            print("error: --ranging does not compose with --presolve "
+                  "(presolve reductions change the coefficients the "
+                  "intervals would describe)", file=sys.stderr)
+            return 2
+        kwargs["ranging"] = True
+    if getattr(args, "certificates", False):
+        if prog.isMixedInteger():
+            print("error: --certificates applies to LPs only (MILP "
+                  "infeasibility/unboundedness is a lattice statement the "
+                  "LP certificates do not prove)", file=sys.stderr)
+            return 2
+        if args.presolve:
+            print("error: --certificates does not compose with --presolve "
+                  "(the vectors live on the UNREDUCED standard-form rows; "
+                  "use --no-presolve)", file=sys.stderr)
+            return 2
+        kwargs["certificates"] = True
     if getattr(args, "pricing", "default") != "default" \
             and not prog.isMixedInteger():
         kwargs["pricing"] = args.pricing
@@ -121,6 +145,30 @@ def _cmd_solve(args) -> int:
         out["iterations"] = sol.niter
     if sol.mip_gap is not None and sol.mip_gap > 0:
         out["mip_gap"] = sol.mip_gap
+    if getattr(sol, "farkas", None) is not None:
+        out["farkas"] = [str(v) for v in sol.farkas]
+    if getattr(sol, "ray", None) is not None:
+        out["ray"] = [str(v) for v in sol.ray]
+    if getattr(args, "iis", False) and sol.status == "infeasible":
+        from .solve.iis import find_iis
+
+        try:
+            out["iis"] = find_iis(prog)
+        except ValueError as e:
+            # integer-infeasible with a feasible LP relaxation: an IIS
+            # (an LP notion) does not exist — report why, don't crash
+            out["iis"] = None
+            out["iis_note"] = str(e)
+    if sol.cost_ranging is not None:
+        def _iv(rng):
+            if rng is None:
+                return None
+            return [None if v is None else str(v) for v in rng]
+
+        out["cost_ranging"] = {k: _iv(v)
+                               for k, v in sol.cost_ranging.items()}
+        out["rhs_ranging"] = {str(k): _iv(v)
+                              for k, v in sol.rhs_ranging.items()}
     if getattr(args, "save_basis", None) and sol.basis is not None:
         with open(args.save_basis, "w") as fh:
             json.dump({"basis": list(map(int, sol.basis))}, fh)
@@ -228,6 +276,26 @@ def main(argv=None) -> int:
                          "condition needs a bounded-state dual simplex with "
                          "device node templates, which is not built. Keep "
                          "the default unless reproducing that analysis")
+    p1.add_argument("--certificates", action="store_true",
+                    help="attach an exact PROOF to a terminal LP verdict: "
+                         "infeasible -> Farkas vector (y.A <= 0, y.b > 0), "
+                         "unbounded -> improving ray (A d = 0, d >= 0, "
+                         "c.d = -1), both exact rationals over the "
+                         "standard-form rows/columns (LP only)")
+    p1.add_argument("--iis", action="store_true",
+                    help="on an infeasible model, also report an "
+                         "Irreducible Infeasible Subsystem: a minimal set "
+                         "of constraints (names where named, else indices) "
+                         "that conflict — removing any one member makes "
+                         "the rest feasible (deletion filter, exact host "
+                         "oracle up to 192 rows)")
+    p1.add_argument("--ranging", action="store_true",
+                    help="report post-optimal sensitivity ranging: the "
+                         "interval of each objective coefficient and each "
+                         "constraint rhs over which the optimal basis "
+                         "stays optimal (LP only; not with --presolve, "
+                         "whose reductions change the data the intervals "
+                         "would describe)")
     p1.add_argument("--save-basis", default=None, dest="save_basis",
                     help="write the terminal basis (augmented-column "
                          "indices, JSON) for later --warm-basis re-solves")

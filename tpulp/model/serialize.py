@@ -47,13 +47,19 @@ def prog_to_json(prog: LinProg) -> dict:
         "constraints": [],
         "vars": {},
     }
-    for con in prog.constraints:
+    names = getattr(prog, "con_names", None) or []
+    for ci, con in enumerate(prog.constraints):
         canon = con.simplify()
-        out["constraints"].append({
+        entry = {
             "terms": _expr_terms(canon.left),
             "comp": canon.comp,
             "rhs": _enc(canon.right.getConstant()),
-        })
+        }
+        # optional, omitted when unnamed — older files (and the
+        # reference-era schema) round-trip unchanged
+        if ci < len(names) and names[ci] is not None:
+            entry["name"] = names[ci]
+        out["constraints"].append(entry)
     for name, v in prog.vars.items():
         out["vars"][name] = {
             "integral": v.isint,
@@ -75,7 +81,8 @@ def prog_from_json(data: dict) -> LinProg:
         left = LinExpr()
         for name, coeff in cdata["terms"].items():
             left += LinExpr(coeff, name)
-        prog.addConstraint(LinCon(left, cdata["comp"], LinExpr(cdata["rhs"])))
+        prog.addConstraint(LinCon(left, cdata["comp"], LinExpr(cdata["rhs"])),
+                           name=cdata.get("name"))
     for name, vdata in data.get("vars", {}).items():
         prog.addVariable(LinVar(
             name, vdata.get("integral", False),

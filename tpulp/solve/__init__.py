@@ -17,6 +17,10 @@ from .bounded import (
 )
 from .dual import run_dual_simplex, warm_state_from_basis
 from .refine import exact_basis_solve, refine_basis_solution
+from .farkas import (farkas_certificate, ray_certificate, verify_farkas,
+                     verify_ray)
+from .iis import find_iis
+from .ranging import RangingReport, original_ranging, standard_form_ranging
 from .refresh import refresh_tableau, run_simplex_refreshed
 
 __all__ = [
@@ -40,5 +44,13 @@ __all__ = [
     "find_pivot_all",
     "extract_solution",
     "refine_basis_solution",
+    "find_iis",
+    "farkas_certificate",
+    "ray_certificate",
+    "verify_farkas",
+    "verify_ray",
+    "RangingReport",
+    "original_ranging",
+    "standard_form_ranging",
     "exact_basis_solve",
 ]

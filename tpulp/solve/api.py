@@ -70,6 +70,26 @@ class Solution:
     # which precision-ladder rung produced this answer (r5 observability:
     # 'device-float32', 'device-float64', 'refreshed-float64', 'host-exact')
     rung: Optional[str] = None
+    # post-optimal sensitivity RANGING (solve_lp(..., ranging=True)):
+    # per-variable objective-coefficient intervals and per-constraint rhs
+    # intervals over which the terminal basis stays optimal, in the
+    # ORIGINAL problem's sense/convention (tpulp.solve.ranging). Intervals
+    # are (lo, hi) with None = unbounded; a None VALUE marks an entry
+    # ranging cannot cover (split free variable / dropped constant row).
+    # For a StandardForm input the keys are column / row indices instead.
+    cost_ranging: Optional[Dict] = None
+    rhs_ranging: Optional[Dict] = None
+    # bounded (simple_bounds) solves: per-column at-upper flags of the
+    # terminal basis — the KKT sign classes bounded ranging needs
+    at_upper: Optional[list] = None
+    # exact status certificates (solve_lp(..., certificates=True)):
+    # infeasible -> farkas: rationals y over the (span-materialized)
+    # standard-form rows with y.A_j <= 0 for every column and y.b > 0;
+    # unbounded -> ray: rationals d with A d = 0, d >= 0, c.d = -1 —
+    # independently checkable PROOFS of the verdict
+    # (tpulp.solve.farkas.verify_farkas / verify_ray)
+    farkas: Optional[list] = None
+    ray: Optional[list] = None
 
     @property
     def is_optimal(self) -> bool:
@@ -580,6 +600,8 @@ def solve_standard_form(
         basis=basis,
         y=y,
         rung=rung_tag,
+        at_upper=None if at_upper_np is None
+        else [bool(v) for v in at_upper_np],
     )
 
 
@@ -590,6 +612,8 @@ def solve_lp(
     refine: str = "auto",
     fallback: str = "auto",
     duals: bool = False,
+    ranging: bool = False,
+    certificates: bool = False,
     mesh=None,
     shard_axis="cols",
     shard_driver: str = "blocked",
@@ -624,6 +648,23 @@ def solve_lp(
     reports the row duals (shadow prices, minimization sense) in
     ``Solution.y`` — exact Fractions when refinement is exact.
 
+    ``certificates=True`` attaches an exact PROOF to terminal non-optimal
+    verdicts: 'infeasible' gets a Farkas vector (``Solution.farkas``: y
+    with ``y.A_j <= 0`` and ``y.b > 0`` over the span-materialized rows),
+    'unbounded' gets an improving recession ray (``Solution.ray``: d with
+    ``A d = 0, d >= 0, c.d = -1``) — upgrading the ladder's re-confirmed
+    statuses to independently checkable certificates (``tpulp.solve
+    .farkas``). If the exact extraction instead DISPROVES the verdict (a
+    false float status), the exact host answer replaces it.
+
+    ``ranging=True`` adds the post-optimal sensitivity RANGING report
+    (``Solution.cost_ranging`` / ``rhs_ranging``): per-variable objective
+    -coefficient and per-constraint rhs intervals over which the terminal
+    basis stays optimal, in the original problem's sense — exact Fractions
+    on the exact-refinement path (``tpulp.solve.ranging``). Composes with
+    ``simple_bounds`` via the terminal basis' at-upper KKT classes
+    (``Solution.at_upper``).
+
     ``mesh=tpulp.shard.make_mesh()`` makes this a one-call MULTI-CHIP solve:
     the tableau is column-sharded over the mesh, solved with the explicit
     SPMD rank-K driver, gathered, refined and certified exactly like the
@@ -655,4 +696,45 @@ def solve_lp(
 
         dmap, rc = original_sensitivity(prog, sf, sol.y)
         sol = dataclasses.replace(sol, duals=dmap, reduced_costs=rc)
+    if certificates and sol.status in ("infeasible", "unbounded"):
+        from ..model.lower import materialize_simple_bounds
+        from .farkas import farkas_certificate, ray_certificate
+
+        sff = sf
+        if sf.upper is not None and any(u is not None for u in sf.upper):
+            sff = materialize_simple_bounds(sf)
+        if not sff.trivially_infeasible:
+            cert = (farkas_certificate if sol.status == "infeasible"
+                    else ray_certificate)(sff)
+            if cert is None:
+                # the exact extraction DISPROVED the verdict (feasible
+                # system / no improving ray) — the float status was false;
+                # return the exact host answer instead
+                sol = solve_standard_form_host(sff)
+            elif sol.status == "infeasible":
+                sol = dataclasses.replace(sol, farkas=cert)
+            else:
+                sol = dataclasses.replace(sol, ray=cert)
+    if ranging and sol.is_optimal and sol.basis is not None:
+        from .ranging import original_ranging, standard_form_ranging
+
+        bounded_sf = sf.upper is not None \
+            and any(u is not None for u in sf.upper)
+        if bounded_sf and sol.at_upper is None:
+            # the exact-host escalation rung materializes bound rows in a
+            # different column space and carries no at-upper flags
+            raise ValueError(
+                "ranging on this simple_bounds solve is unavailable: the "
+                "answer came from a rung without at_upper flags "
+                f"(rung={sol.rung!r}). Re-solve with simple_bounds=False "
+                "for ranging on the row-lowered form")
+        mode = "float64" if refine == "none" else refine
+        rep = standard_form_ranging(sf, sol.basis, mode=mode,
+                                    at_upper=sol.at_upper)
+        if is_prog:
+            crng, rrng = original_ranging(prog, sf, rep)
+        else:
+            crng = {j: r for j, r in enumerate(rep.cost)}
+            rrng = {i: r for i, r in enumerate(rep.rhs)}
+        sol = dataclasses.replace(sol, cost_ranging=crng, rhs_ranging=rrng)
     return sol
